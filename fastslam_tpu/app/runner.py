@@ -1,0 +1,145 @@
+"""The control loop — ``jde_robots_main.py:18-59`` re-cast over a Driver.
+
+Each tick: read scan -> odometry from commanded velocities
+(``robot.py:122-151`` semantics incl. the 0.6 velocity fudge and the
+rotation-XOR-translation split) -> front-end corner extraction (jitted) ->
+one ``fastslam_step`` (jitted) -> dead-reckoning warmup gate
+(``jde_robots_main.py:16,41-49``) -> per-tick evaluation against ground truth
+(``evaluation_utils.py``, offsets subtracted as at :46-55).
+
+The loop is host-side Python (it owns the simulator/log boundary); all the
+math is inside the two jitted functions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastslam_tpu.config import FastSLAMConfig
+from fastslam_tpu.core import kernels
+from fastslam_tpu.core.state import FilterState, Measurements, init_state
+from fastslam_tpu.drivers.base import Driver
+from fastslam_tpu.eval.metrics import TickEvaluation, evaluate_tick, trajectory_metrics
+from fastslam_tpu.frontend.pipeline import scan_to_measurements
+
+
+@dataclass
+class RunHistory:
+    est_poses: List[np.ndarray] = field(default_factory=list)
+    gt_poses: List[np.ndarray] = field(default_factory=list)
+    evaluations: List[TickEvaluation] = field(default_factory=list)
+    num_measurements: List[int] = field(default_factory=list)
+
+    def metrics(self, skip: int = 0) -> dict:
+        return trajectory_metrics(
+            np.asarray(self.gt_poses[skip:]), np.asarray(self.est_poses[skip:])
+        )
+
+
+class SLAMRunner:
+    """Owns the jitted step functions and the dead-reckoned robot pose."""
+
+    def __init__(self, config: FastSLAMConfig, rng: int = 0):
+        self.config = config
+        self.state: FilterState = init_state(config, rng)
+        self.robot = np.zeros(3)  # dead-reckoned pose during warmup
+        self.iteration = 0
+        self._prev_timestamp: Optional[float] = None
+
+        self._frontend = jax.jit(
+            lambda pts, valid: scan_to_measurements(pts, valid, config)
+        )
+        self._step = jax.jit(
+            lambda st, rot, trans, ms: kernels.fastslam_step(st, rot, trans, ms, config)
+        )
+
+    # ------------------------------------------------------------ odometry
+    def odometry(self, v: float, w: float, timestamp: float) -> tuple:
+        """Control-command odometry (``robot.py:122-151``): mutually exclusive
+        rotation/translation with the 0.6 simulator fudge on translation."""
+        if self._prev_timestamp is None:
+            dt = 0.0
+        else:
+            dt = timestamp - self._prev_timestamp
+        self._prev_timestamp = timestamp
+        if v != 0:
+            return 0.0, v * dt * self.config.velocity_fudge
+        return w * dt, 0.0
+
+    # ------------------------------------------------------------- one tick
+    def tick(self, points: np.ndarray, valid: np.ndarray, rotation: float,
+             translation: float) -> np.ndarray:
+        """Run perception + filter for one tick; returns the pose estimate
+        the application should adopt (respecting the warmup gate)."""
+        ms: Measurements = self._frontend(
+            jnp.asarray(points, jnp.float32), jnp.asarray(valid)
+        )
+        self.state, est = self._step(
+            self.state, jnp.float32(rotation), jnp.float32(translation), ms
+        )
+        est = np.asarray(est)
+
+        if self.iteration < self.config.warmup_iterations:
+            # dead-reckon (jde_robots_main.py:41-49)
+            self.robot[2] = (self.robot[2] + rotation + np.pi) % (2 * np.pi) - np.pi
+            self.robot[0] += translation * np.cos(self.robot[2])
+            self.robot[1] += translation * np.sin(self.robot[2])
+            self.iteration += 1
+        else:
+            self.robot = est.astype(float).copy()
+        self._last_num_measurements = int(np.asarray(ms.valid).sum())
+        return self.robot.copy()
+
+
+def run_driver(
+    driver: Driver,
+    config: FastSLAMConfig,
+    max_ticks: int = 10_000,
+    rng: int = 0,
+) -> RunHistory:
+    """Drive the full loop against any :class:`Driver` until it is exhausted."""
+    runner = SLAMRunner(config, rng)
+    history = RunHistory()
+
+    # ground-truth offset init (evaluation_utils.py:25-43: the actual pose is
+    # shifted so the run starts at the filter's origin)
+    p0 = driver.get_pose()
+    off = np.array([p0.x, p0.y, p0.yaw])
+
+    running = True
+    ticks = 0
+    while running and ticks < max_ticks:
+        scan = driver.get_laser()
+        points, valid = scan.to_points()
+
+        if hasattr(driver, "commanded_velocity"):
+            v, w = driver.commanded_velocity()
+        else:  # live policy (robot.py:61-88)
+            bumper = driver.get_bumper()
+            if bumper.state == 1:
+                v = 0.0
+                w = config.angular_velocity if bumper.bumper == 0 else -config.angular_velocity
+            else:
+                v, w = config.linear_velocity, 0.0
+            driver.set_velocity(v, w)
+
+        rotation, translation = runner.odometry(v, w, scan.timestamp)
+        est = runner.tick(points, valid, rotation, translation)
+
+        gp = driver.get_pose()
+        gt = np.array([gp.x - off[0], gp.y - off[1],
+                       (gp.yaw - off[2] + np.pi) % (2 * np.pi) - np.pi])
+        history.est_poses.append(est)
+        history.gt_poses.append(gt)
+        history.evaluations.append(evaluate_tick(gt, est))
+        history.num_measurements.append(runner._last_num_measurements)
+
+        running = driver.step()
+        ticks += 1
+
+    return history

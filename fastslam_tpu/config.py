@@ -1,0 +1,104 @@
+"""Configuration for the TPU-native FastSLAM 2.0 engine.
+
+The reference keeps six module-level constants in ``fast_slam_2/config.py:7-21``
+plus a scattering of hard-coded magic numbers (Hough scale/padding/threshold at
+``hough_transformation.py:10-11,24``, DBSCAN eps/min-samples at
+``landmark_utils.py:58-59,139``, corner gate 0.1 at ``landmark_utils.py:63``,
+velocity fudge 0.6 at ``robot.py:144``, warmup 150 at ``jde_robots_main.py:16``,
+ICP iteration caps at ``icp.py:16-17``).  Here every knob is promoted to a field
+of one frozen dataclass so a config is a hashable static argument to ``jit``.
+
+Unlike the reference, particle count and landmark capacity are first-class and
+meant to scale (20 particles there; 100k+ here), so the capacity-style fields
+(``max_landmarks``, ``max_measurements``, ``max_hough_lines``...) exist because
+XLA requires static shapes: every ragged structure in the reference becomes a
+fixed-capacity masked array here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FastSLAMConfig:
+    """Static configuration; hashable so it can be a ``jax.jit`` static arg."""
+
+    # ---- filter core (reference: fast_slam_2/config.py:7-21) ----
+    num_particles: int = 20
+    translation_noise: float = 0.0055     # std-dev of translation noise
+    rotation_noise: float = 0.001         # std-dev of rotation noise
+    measurement_noise: float = 0.001      # R = measurement_noise * I2
+    max_landmark_distance: float = 8.0    # Mahalanobis association gate
+    default_landmark_cov: float = 0.1     # new landmark cov = 0.1 * I2 (landmark.py:13)
+
+    # ---- static capacities (TPU-native: ragged -> masked fixed shape) ----
+    max_landmarks: int = 64               # per-particle landmark slots
+    max_measurements: int = 16            # measurements per tick (padded)
+    num_beams: int = 180                  # laser beams per scan (robot.py:42)
+
+    # ---- behavior switches ----
+    # parity_mode=True reproduces the reference's quirks bit-for-bit
+    # (SURVEY.md §7.0): robot-frame association, linear-space weight
+    # normalization with the <1e-5 skip, first-match association, argmax-weight
+    # pose estimate.  parity_mode=False is the production path: world-frame
+    # association on the predicted measurement, log-space weights,
+    # best-match (min-distance) association, Joseph-form covariance update.
+    parity_mode: bool = True
+    resample_threshold_frac: float = 0.5  # resample when Neff < frac * N (fast_slam_2.py:62)
+    weight_floor: float = 1e-5            # collapse guard (fast_slam_2.py:168-173)
+
+    # ---- frontend: line filter (line_filter.py:12-21) ----
+    line_filter_sigma: float = 0.1
+    line_filter_truncate: float = 4.0     # scipy gaussian_filter1d default
+
+    # ---- frontend: Hough corner detector (hough_transformation.py:10-24) ----
+    hough_scale: int = 100                # metres -> pixels
+    hough_padding: int = 20               # border pixels
+    hough_threshold: int = 80             # accumulator votes for a line
+    hough_point_radius: int = 2           # rasterized point disc radius
+    hough_num_thetas: int = 180           # 1-degree theta bins
+    hough_rho_bins: int = 4096            # static accumulator extent (+-2048 px)
+    max_hough_lines: int = 24             # top-K detected lines kept
+    min_line_angle_deg: float = 45.0      # intersection angle gate (:101)
+    max_intersections: int = 64           # K*(K-1)/2 capped
+    cluster_eps: float = 0.5              # DBSCAN eps for intersections (:58)
+    corner_threshold: float = 0.1         # corner-to-scan-point gate (landmark_utils.py:63)
+
+    # ---- viz landmark clustering (landmark_utils.py:120-144) ----
+    viz_cluster_eps: float = 0.5
+    viz_min_samples_frac: float = 0.7     # min_samples = frac * avg landmarks/particle
+
+    # ---- ICP proposal (icp.py:16-17) ----
+    icp_max_iterations: int = 100
+    icp_tolerance: float = 1e-5
+
+    # ---- motion / app loop ----
+    velocity_fudge: float = 0.6           # sim reduces commanded v by 40% (robot.py:144)
+    warmup_iterations: int = 150          # dead-reckoning warmup (jde_robots_main.py:16)
+    linear_velocity: float = 0.3          # drive policy commands (jde_robots_main.py:25)
+    angular_velocity: float = 0.5
+
+    # ---- sharding ----
+    particle_axis: str = "particles"      # mesh axis particles are sharded over
+    map_axis: str = "map"                 # mesh axis for landmark blocks / keyframes
+
+    # ---- numerics ----
+    dtype: str = "float32"
+
+    @property
+    def measurement_cov(self) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+        r = self.measurement_noise
+        return ((r, 0.0), (0.0, r))
+
+    @property
+    def min_line_angle_rad(self) -> float:
+        return math.radians(self.min_line_angle_deg)
+
+    def replace(self, **kw) -> "FastSLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = FastSLAMConfig()

@@ -1,0 +1,442 @@
+"""Core FastSLAM kernels, vectorized over the particle axis.
+
+Every kernel here is a pure function over fixed-shape arrays, designed so the
+whole filter step jits into one XLA program:
+
+* the reference's per-particle thread fan-out (``fast_slam_2.py:42-53``)
+  becomes plain vectorization over the leading ``[P]`` axis;
+* the per-landmark Python scan with first-match association
+  (``landmark_utils.py:92-117``) becomes a masked ``[P, L]`` distance matrix
+  and an ``argmax``-of-boolean (argmax returns the *first* True, exactly
+  reproducing first-match semantics);
+* the 2x2 EKF with ``np.linalg.inv`` (``fast_slam_2.py:116-159``) becomes a
+  closed-form symmetric 2x2 solve — no LAPACK, pure VPU math;
+* data-dependent branches (append-vs-update ``fast_slam_2.py:105-114``,
+  resample-if-degenerate ``:62``) become ``where`` masks and ``lax.cond``;
+* raw-probability weights (``:159``) are carried in log space.
+
+``parity_mode`` (config) reproduces the reference's quirks exactly
+(SURVEY.md §7.0): robot-frame association, weight-floor normalization,
+first-match association, (I-KH)Σ covariance update, argmax-weight pose
+estimate, and resampling that keeps the copied weights.  Production mode uses
+the textbook-correct variants (world-frame association via the predicted
+measurement, best-match gating, Joseph-form covariance, log-sum-exp
+normalization, uniform weights after resampling).
+
+Noise is passed in explicitly (``rot_noise``/``trans_noise``/``u0``) so the
+kernels are deterministic and oracle-testable; ``fastslam_step`` draws it from
+the state's PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastslam_tpu.config import FastSLAMConfig
+from fastslam_tpu.core.state import FilterState, Measurements
+
+_TWO_PI = 2.0 * jnp.pi
+_LOG_TWO_PI = jnp.log(2.0 * jnp.pi)
+
+
+def wrap_angle(theta: jax.Array) -> jax.Array:
+    """Wrap angles to [-pi, pi) — reference idiom ``(a + pi) % 2pi - pi``
+    (``fast_slam_2.py:84-85,125``)."""
+    return (theta + jnp.pi) % _TWO_PI - jnp.pi
+
+
+# ---------------------------------------------------------------------------
+# motion model
+# ---------------------------------------------------------------------------
+
+def propagate_particles(
+    poses: jax.Array,
+    rotation: jax.Array,
+    translation: jax.Array,
+    rot_noise: jax.Array,
+    trans_noise: jax.Array,
+) -> jax.Array:
+    """Sample the motion model for all particles at once.
+
+    Reference semantics (``fast_slam_2.py:69-87``): motion is *either* pure
+    rotation or pure translation per tick, selected by ``rotation != 0``;
+    Gaussian noise is applied only to the active component; yaw is wrapped,
+    then the translation is applied along the *new* heading.
+
+    Args:
+      poses: ``[P, 3]`` particle poses.
+      rotation/translation: scalar odometry for this tick.
+      rot_noise/trans_noise: ``[P]`` standard-normal draws *pre-scaled* by the
+        respective noise std-devs.
+    """
+    rotating = rotation != 0.0
+    noisy_rot = jnp.where(rotating, rotation + rot_noise, 0.0)
+    noisy_trans = jnp.where(rotating, 0.0, translation + trans_noise)
+    yaw = wrap_angle(poses[:, 2] + noisy_rot)
+    x = poses[:, 0] + noisy_trans * jnp.cos(yaw)
+    y = poses[:, 1] + noisy_trans * jnp.sin(yaw)
+    return jnp.stack([x, y, yaw], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# association + landmark EKF (one measurement, all particles)
+# ---------------------------------------------------------------------------
+
+def _inv2x2(cov: jax.Array, eps: float = 1e-12):
+    """Closed-form inverse of flattened 2x2s ``[..., 4]`` = (a, b, c, d)."""
+    a, b, c, d = cov[..., 0], cov[..., 1], cov[..., 2], cov[..., 3]
+    det = a * d - b * c
+    safe = jnp.where(jnp.abs(det) > eps, det, jnp.sign(det) * eps + eps)
+    inv_det = 1.0 / safe
+    return (
+        jnp.stack([d, -b, -c, a], axis=-1) * inv_det[..., None],
+        det,
+    )
+
+
+def _quadform2(cov_inv: jax.Array, v0: jax.Array, v1: jax.Array) -> jax.Array:
+    """v^T M v for flattened 2x2 M ``[..., 4]`` and vector components v0, v1."""
+    ia, ib, ic, id_ = cov_inv[..., 0], cov_inv[..., 1], cov_inv[..., 2], cov_inv[..., 3]
+    return v0 * (ia * v0 + ib * v1) + v1 * (ic * v0 + id_ * v1)
+
+
+def associate(
+    lm_mean: jax.Array,
+    lm_cov: jax.Array,
+    lm_valid: jax.Array,
+    query: jax.Array,
+    config: FastSLAMConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mahalanobis data association over all landmark slots.
+
+    Replaces the reference's serial first-match-under-gate scan
+    (``landmark_utils.py:92-117``): the Mahalanobis distance from ``query`` to
+    every slot is computed densely as a ``[P, L]`` matrix; in parity mode the
+    *first* slot under the gate wins (``jnp.argmax`` over the hit mask returns
+    the first True), in production mode the *closest* slot wins.
+
+    Args:
+      lm_mean: ``[P, L, 2]``; lm_cov: ``[P, L, 4]``; lm_valid: ``[P, L]`` bool.
+      query: ``[P, 2]`` the point to associate (robot-frame observation in
+        parity mode — reference quirk ``fast_slam_2.py:100-104`` — or the
+        world-frame observation in production mode).
+
+    Returns:
+      ``(idx [P] int32, has_match [P] bool)``.
+    """
+    delta = lm_mean - query[:, None, :]            # [P, L, 2]
+    cov_inv, det = _inv2x2(lm_cov)
+    d2 = _quadform2(cov_inv, delta[..., 0], delta[..., 1])
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    usable = lm_valid & (det > 0.0)
+    dist = jnp.where(usable, dist, jnp.inf)
+    hit = usable & (dist < config.max_landmark_distance)
+    has_match = jnp.any(hit, axis=1)
+    if config.parity_mode:
+        idx = jnp.argmax(hit, axis=1).astype(jnp.int32)  # first hit
+    else:
+        idx = jnp.argmin(dist, axis=1).astype(jnp.int32)  # best hit
+    return idx, has_match
+
+
+def update_particles_one(
+    poses: jax.Array,
+    log_weights: jax.Array,
+    lm_mean: jax.Array,
+    lm_cov: jax.Array,
+    lm_count: jax.Array,
+    z: jax.Array,
+    z_valid: jax.Array,
+    config: FastSLAMConfig,
+):
+    """Process ONE (distance, bearing) measurement against every particle.
+
+    Fuses the reference's per-particle thread task ``__update_particle``
+    (``fast_slam_2.py:89-159``) into dense array ops:
+
+      * observation point for association (robot frame in parity mode — the
+        reference compares a robot-frame point against world-frame landmarks,
+        SURVEY.md §7.0 quirk 1);
+      * association (see :func:`associate`);
+      * miss -> append a world-frame landmark with cov ``0.1*I`` at the next
+        free slot (``:108-111``, ``landmark.py:13``), dropped if at capacity;
+      * hit -> 2x2 landmark EKF (``:116-153``) and a log-likelihood weight
+        update (``:156-159``).
+
+    Returns updated ``(log_weights, lm_mean, lm_cov, lm_count)``.
+    """
+    p, l = lm_mean.shape[0], lm_mean.shape[1]
+    dist_z, bearing_z = z[0], z[1]
+    px, py, yaw = poses[:, 0], poses[:, 1], poses[:, 2]
+
+    slots = jax.lax.broadcasted_iota(jnp.int32, (p, l), 1)
+    lm_valid = slots < lm_count[:, None]
+
+    # World-frame observed landmark (used for appends, and for association in
+    # production mode).
+    wx = px + dist_z * jnp.cos(yaw + bearing_z)
+    wy = py + dist_z * jnp.sin(yaw + bearing_z)
+    world_obs = jnp.stack([wx, wy], axis=-1)                    # [P, 2]
+
+    if config.parity_mode:
+        # Reference quirk: the association query is the robot-frame point
+        # (d cos(b), d sin(b)) — identical for every particle.
+        rx = dist_z * jnp.cos(bearing_z)
+        ry = dist_z * jnp.sin(bearing_z)
+        query = jnp.broadcast_to(jnp.stack([rx, ry]), (p, 2))
+    else:
+        query = world_obs
+
+    idx, has_match = associate(lm_mean, lm_cov, lm_valid, query, config)
+
+    # ---------------- EKF update for the matched slot ----------------
+    take = lambda arr: jnp.take_along_axis(
+        arr, idx[:, None, *([None] * (arr.ndim - 2))], axis=1
+    ).squeeze(1)
+    mu = take(lm_mean)                                          # [P, 2]
+    sig = take(lm_cov)                                          # [P, 4]
+
+    dx = mu[:, 0] - px
+    dy = mu[:, 1] - py
+    q = dx * dx + dy * dy
+    q = jnp.maximum(q, 1e-12)
+    r = jnp.sqrt(q)
+
+    pred_r = r
+    pred_b = jnp.arctan2(dy, dx) - yaw
+    nu_r = dist_z - pred_r
+    nu_b = wrap_angle(bearing_z - pred_b)
+
+    # H = [[dx/r, dy/r], [-dy/q, dx/q]]  (fast_slam_2.py:130-133)
+    h00 = dx / r
+    h01 = dy / r
+    h10 = -dy / q
+    h11 = dx / q
+
+    a, b, c, d = sig[:, 0], sig[:, 1], sig[:, 2], sig[:, 3]
+    # S = H Σ H^T + R
+    # rows of HΣ: u = (h00*a + h01*c, h00*b + h01*d); v = (h10*a + h11*c, h10*b + h11*d)
+    u0 = h00 * a + h01 * c
+    u1 = h00 * b + h01 * d
+    v0 = h10 * a + h11 * c
+    v1 = h10 * b + h11 * d
+    rn = config.measurement_noise
+    s00 = u0 * h00 + u1 * h01 + rn
+    s01 = u0 * h10 + u1 * h11
+    s10 = v0 * h00 + v1 * h01
+    s11 = v0 * h10 + v1 * h11 + rn
+
+    s_det = s00 * s11 - s01 * s10
+    s_det_safe = jnp.maximum(jnp.abs(s_det), 1e-18) * jnp.sign(s_det + 1e-30)
+    i00, i01, i10, i11 = s11 / s_det_safe, -s01 / s_det_safe, -s10 / s_det_safe, s00 / s_det_safe
+
+    # K = Σ H^T S^{-1}.  ΣH^T columns: m = (a*h00 + b*h01, c*h00 + d*h01);
+    # n = (a*h10 + b*h11, c*h10 + d*h11)
+    m0 = a * h00 + b * h01
+    m1 = c * h00 + d * h01
+    n0 = a * h10 + b * h11
+    n1 = c * h10 + d * h11
+    k00 = m0 * i00 + n0 * i10
+    k01 = m0 * i01 + n0 * i11
+    k10 = m1 * i00 + n1 * i10
+    k11 = m1 * i01 + n1 * i11
+
+    new_mu0 = mu[:, 0] + k00 * nu_r + k01 * nu_b
+    new_mu1 = mu[:, 1] + k10 * nu_r + k11 * nu_b
+
+    # (I - K H) Σ  (reference :146).  Production mode adds symmetrization.
+    g00 = 1.0 - (k00 * h00 + k01 * h10)
+    g01 = -(k00 * h01 + k01 * h11)
+    g10 = -(k10 * h00 + k11 * h10)
+    g11 = 1.0 - (k10 * h01 + k11 * h11)
+    new_a = g00 * a + g01 * c
+    new_b = g00 * b + g01 * d
+    new_c = g10 * a + g11 * c
+    new_d = g10 * b + g11 * d
+    if not config.parity_mode:
+        # symmetrize for long-horizon numerical health
+        off = 0.5 * (new_b + new_c)
+        new_b = off
+        new_c = off
+
+    # Gaussian log-likelihood of the innovation under S (:156-159).
+    maha = i00 * nu_r * nu_r + (i01 + i10) * nu_r * nu_b + i11 * nu_b * nu_b
+    log_lik = -0.5 * (maha + jnp.log(jnp.maximum(s_det, 1e-30))) - _LOG_TWO_PI
+
+    # ---------------- merge hit / miss / invalid paths ----------------
+    can_append = lm_count < l
+    do_update = z_valid & has_match
+    do_append = z_valid & (~has_match) & can_append
+
+    upd_onehot = (slots == idx[:, None]) & do_update[:, None]       # [P, L]
+    app_onehot = (slots == lm_count[:, None]) & do_append[:, None]  # [P, L]
+
+    new_mean_pl = jnp.stack([new_mu0, new_mu1], axis=-1)            # [P, 2]
+    new_cov_pl = jnp.stack([new_a, new_b, new_c, new_d], axis=-1)   # [P, 4]
+    app_cov = jnp.array(
+        [config.default_landmark_cov, 0.0, 0.0, config.default_landmark_cov],
+        dtype=lm_cov.dtype,
+    )
+
+    lm_mean = jnp.where(upd_onehot[..., None], new_mean_pl[:, None, :], lm_mean)
+    lm_mean = jnp.where(app_onehot[..., None], world_obs[:, None, :], lm_mean)
+    lm_cov = jnp.where(upd_onehot[..., None], new_cov_pl[:, None, :], lm_cov)
+    lm_cov = jnp.where(app_onehot[..., None], app_cov[None, None, :], lm_cov)
+    lm_count = lm_count + do_append.astype(jnp.int32)
+    log_weights = jnp.where(do_update, log_weights + log_lik, log_weights)
+
+    return log_weights, lm_mean, lm_cov, lm_count
+
+
+def update_particles(state: FilterState, measurements: Measurements,
+                     config: FastSLAMConfig) -> FilterState:
+    """Scan the per-measurement update over the padded measurement batch.
+
+    The reference processes measurements strictly serially (``fast_slam_2.py:48``)
+    — measurement k may associate against a landmark appended by measurement
+    k-1 — so this is a ``lax.scan`` with the map arrays as carry.
+    """
+
+    def step(carry, zs):
+        log_w, mean, cov, count = carry
+        z, valid = zs
+        log_w, mean, cov, count = update_particles_one(
+            state.poses, log_w, mean, cov, count, z, valid, config
+        )
+        return (log_w, mean, cov, count), None
+
+    (log_w, mean, cov, count), _ = jax.lax.scan(
+        step,
+        (state.log_weights, state.lm_mean, state.lm_cov, state.lm_count),
+        (measurements.range_bearing, measurements.valid),
+    )
+    return state._replace(log_weights=log_w, lm_mean=mean, lm_cov=cov, lm_count=count)
+
+
+# ---------------------------------------------------------------------------
+# weights / Neff / resampling / pose estimate
+# ---------------------------------------------------------------------------
+
+def normalize_log_weights(log_weights: jax.Array, config: FastSLAMConfig) -> jax.Array:
+    """Normalize weights.
+
+    Parity mode reproduces ``fast_slam_2.py:161-175`` exactly: work in linear
+    space; if the total is below 1e-5 reset to uniform; otherwise divide —
+    EXCEPT weights individually below 1e-5, which are kept unnormalized (the
+    reference's ``:173`` oddity).  Production mode is a plain log-sum-exp.
+    """
+    n = log_weights.shape[0]
+    if not config.parity_mode:
+        return log_weights - jax.scipy.special.logsumexp(log_weights)
+    w = jnp.exp(log_weights)
+    total = jnp.sum(w)
+    uniform = jnp.full_like(w, 1.0 / n)
+    scaled = jnp.where(w < config.weight_floor, w, w / total)
+    w = jnp.where(total < config.weight_floor, uniform, scaled)
+    return jnp.log(jnp.maximum(w, 1e-300))
+
+
+def effective_particles(log_weights: jax.Array, config: FastSLAMConfig) -> jax.Array:
+    """Neff = 1 / sum(w^2), with the reference's short-circuit: if
+    sum(w^2) < 1/N report N (``fast_slam_2.py:212-223``)."""
+    n = log_weights.shape[0]
+    w = jnp.exp(log_weights)
+    s = jnp.sum(w * w)
+    return jnp.where(s < 1.0 / n, jnp.asarray(n, w.dtype), 1.0 / jnp.maximum(s, 1e-300))
+
+
+def systematic_resample_indices(weights: jax.Array, u0: jax.Array) -> jax.Array:
+    """Low-variance (systematic) resampling as cumsum + searchsorted.
+
+    Replaces the reference's serial while-loop (``fast_slam_2.py:177-199``):
+    with positions ``u_m = u0 + m/N`` the selected ancestor is the first index
+    whose cumulative weight reaches ``u_m`` — a vectorized ``searchsorted``
+    over the cumulative sum, clipped at N-1 (the reference clamps the same way
+    at ``:192``).
+
+    Args:
+      weights: ``[P]`` linear weights (need not be perfectly normalized).
+      u0: scalar uniform draw in [0, 1/N).
+    """
+    n = weights.shape[0]
+    cum = jnp.cumsum(weights)
+    positions = u0 + jnp.arange(n, dtype=weights.dtype) / n
+    idx = jnp.searchsorted(cum, positions, side="left")
+    return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
+
+
+def resample_state(state: FilterState, idx: jax.Array,
+                   config: FastSLAMConfig) -> FilterState:
+    """Gather the whole SoA state by ancestor index.
+
+    The reference deepcopies particle objects including their full landmark
+    maps (``fast_slam_2.py:196``) — here that is a single gather per array.
+    In parity mode the copied weights are kept (the reference does NOT reset
+    to uniform after resampling); production mode resets to uniform.
+    """
+    n = state.num_particles
+    if config.parity_mode:
+        new_log_w = jnp.take(state.log_weights, idx, axis=0)
+    else:
+        new_log_w = jnp.full((n,), -jnp.log(n), dtype=state.log_weights.dtype)
+    return state._replace(
+        poses=jnp.take(state.poses, idx, axis=0),
+        log_weights=new_log_w,
+        lm_mean=jnp.take(state.lm_mean, idx, axis=0),
+        lm_cov=jnp.take(state.lm_cov, idx, axis=0),
+        lm_count=jnp.take(state.lm_count, idx, axis=0),
+    )
+
+
+def estimate_pose(state: FilterState) -> jax.Array:
+    """Pose estimate = pose of the max-weight particle (``fast_slam_2.py:201-210``
+    — the docstring there says mean, the code takes the argmax)."""
+    best = jnp.argmax(state.log_weights)
+    return state.poses[best]
+
+
+# ---------------------------------------------------------------------------
+# full step
+# ---------------------------------------------------------------------------
+
+def fastslam_step(
+    state: FilterState,
+    rotation: jax.Array,
+    translation: jax.Array,
+    measurements: Measurements,
+    config: FastSLAMConfig,
+) -> Tuple[FilterState, jax.Array]:
+    """One full filter iteration == reference ``FastSLAM2.iterate``
+    (``fast_slam_2.py:33-67``): propagate, per-measurement EKF updates,
+    normalize, Neff, conditional systematic resampling, pose estimate.
+
+    Returns ``(new_state, estimated_pose [3])``.
+    """
+    rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
+    p = state.num_particles
+    dt = state.poses.dtype
+    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
+    trans_noise = config.translation_noise * jax.random.normal(k_trans, (p,), dtype=dt)
+
+    poses = propagate_particles(state.poses, rotation, translation, rot_noise, trans_noise)
+    state = state._replace(poses=poses, rng=rng)
+
+    state = update_particles(state, measurements, config)
+
+    log_w = normalize_log_weights(state.log_weights, config)
+    state = state._replace(log_weights=log_w)
+
+    neff = effective_particles(log_w, config)
+    u0 = jax.random.uniform(k_u, (), dtype=dt, maxval=1.0 / p)
+
+    def do_resample(s):
+        idx = systematic_resample_indices(jnp.exp(s.log_weights), u0)
+        return resample_state(s, idx, config)
+
+    state = jax.lax.cond(
+        neff < config.resample_threshold_frac * p, do_resample, lambda s: s, state
+    )
+    return state, estimate_pose(state)

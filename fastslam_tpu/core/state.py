@@ -1,0 +1,114 @@
+"""Structure-of-arrays filter state.
+
+The reference keeps an array-of-structures particle list — ``Particle`` objects
+each holding a Python list of ``Landmark`` objects with per-landmark 2x2
+numpy covariances (``fast_slam_2/models/particle.py:6-20``,
+``models/landmark.py:13``).  That representation cannot scale and cannot be
+jitted.  Here the whole filter is one pytree of fixed-shape device arrays:
+
+  poses        [P, 3]        particle (x, y, yaw)
+  log_weights  [P]           log importance weights
+  lm_mean      [P, L, 2]     landmark means (world frame)
+  lm_cov       [P, L, 4]     2x2 covariances flattened row-major (a, b, c, d)
+  lm_count     [P]           number of valid landmark slots per particle
+  rng          PRNG key
+
+Ragged per-particle landmark lists become a fixed capacity ``L`` with a
+validity count; "append a landmark" (reference ``fast_slam_2.py:108-111``)
+becomes a masked write at slot ``lm_count`` and an increment.
+
+Sharding: ``poses/log_weights/lm_mean/lm_cov/lm_count`` all shard on the
+leading particle axis (mesh axis ``config.particle_axis``); the RNG key is
+replicated.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fastslam_tpu.config import FastSLAMConfig
+
+
+class FilterState(NamedTuple):
+    """The complete FastSLAM filter state as a pytree of device arrays."""
+
+    poses: jax.Array        # [P, 3] float
+    log_weights: jax.Array  # [P] float
+    lm_mean: jax.Array      # [P, L, 2] float
+    lm_cov: jax.Array       # [P, L, 4] float, row-major 2x2
+    lm_count: jax.Array     # [P] int32
+    rng: jax.Array          # PRNG key
+
+    @property
+    def num_particles(self) -> int:
+        return self.poses.shape[0]
+
+    @property
+    def max_landmarks(self) -> int:
+        return self.lm_mean.shape[1]
+
+    @property
+    def weights(self) -> jax.Array:
+        """Linear-space weights [P]."""
+        return jnp.exp(self.log_weights)
+
+    def lm_valid_mask(self) -> jax.Array:
+        """[P, L] bool — True where a landmark slot is occupied."""
+        slots = jax.lax.broadcasted_iota(jnp.int32, self.lm_mean.shape[:2], 1)
+        return slots < self.lm_count[:, None]
+
+
+def init_state(config: FastSLAMConfig, rng: jax.Array | int = 0) -> FilterState:
+    """Fresh filter state: all particles at the origin with uniform weights.
+
+    Mirrors reference initialization (``fast_slam_2.py:25-31``: particles at
+    (0,0,0), weight 1/N from ``particle.py:19``, empty landmark lists).
+    """
+    if isinstance(rng, int):
+        rng = jax.random.key(rng)
+    p = config.num_particles
+    l = config.max_landmarks
+    dt = jnp.dtype(config.dtype)
+    return FilterState(
+        poses=jnp.zeros((p, 3), dtype=dt),
+        log_weights=jnp.full((p,), -jnp.log(p).astype(dt), dtype=dt),
+        lm_mean=jnp.zeros((p, l, 2), dtype=dt),
+        lm_cov=jnp.zeros((p, l, 4), dtype=dt),
+        lm_count=jnp.zeros((p,), dtype=jnp.int32),
+        rng=rng,
+    )
+
+
+class Measurements(NamedTuple):
+    """A padded batch of range/bearing measurements for one tick.
+
+    The reference passes a Python ``list[Measurement]`` of (distance, yaw)
+    pairs (``models/measurement.py:4-16``); here it is a fixed-capacity array
+    plus a validity mask so the shape is static under jit.
+    """
+
+    range_bearing: jax.Array  # [M, 2] float: (distance, bearing)
+    valid: jax.Array          # [M] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.range_bearing.shape[0]
+
+
+def pad_measurements(
+    config: FastSLAMConfig, range_bearing, dtype=jnp.float32
+) -> Measurements:
+    """Pack a host-side list/array of (distance, bearing) into a padded batch."""
+    import numpy as np
+
+    arr = np.asarray(range_bearing, dtype=dtype).reshape(-1, 2)
+    m = config.max_measurements
+    n = min(arr.shape[0], m)
+    out = np.zeros((m, 2), dtype=dtype)
+    out[:n] = arr[:n]
+    valid = np.zeros((m,), dtype=bool)
+    valid[:n] = True
+    return Measurements(jnp.asarray(out), jnp.asarray(valid))

@@ -1,0 +1,191 @@
+"""Array-native Hough line/corner detection.
+
+The reference rasterizes the scan into a dynamically-sized uint8 image and
+calls ``cv2.HoughLines`` (``fast_slam_2/algorithms/hough_transformation.py:
+14-41``), then intersects detected lines pairwise with a 45-degree angle gate
+(``:76-119``) and maps the hits back to metric space (``:122-145``).  An
+OpenCV image pipeline is a poor TPU fit; here the same behaviour is dense
+array math with static shapes:
+
+  1. points are scaled/offset into the same pixel space the reference uses
+     (scale 100, padding 20, offset from the data minimum — ``:55-66``);
+  2. the radius-2 disc rasterization (``:68-71``) becomes a static 13-offset
+     expansion, deduplicated per pixel with a sort (so overlapping points vote
+     once, like pixels in a binary image);
+  3. the (theta, rho) vote accumulator is a scatter-add over a static
+     ``[T, RHO_BINS]`` grid; line extraction is threshold + 4-neighbour
+     local-max + top-K, matching cv2's accumulator semantics (threshold 80,
+     1-px rho, 1-degree theta — ``:24``);
+  4. pairwise intersections keep the reference's angle gate, determinant gate
+     and in-image bound checks (``:90-117``);
+  5. conversion back to metric space inverts the scale/offset (``:122-145``).
+
+Everything is masked fixed-capacity: ``max_hough_lines`` lines and
+``max_hough_lines^2`` candidate intersections.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastslam_tpu.config import FastSLAMConfig
+
+
+class HoughLines(NamedTuple):
+    rho: jax.Array    # [K] pixel-space rho
+    theta: jax.Array  # [K] radians
+    valid: jax.Array  # [K] bool
+
+
+def _disc_offsets(radius: int) -> np.ndarray:
+    """Static pixel offsets of a filled disc (cv2.circle thickness=-1 analog)."""
+    r = int(radius)
+    offs = [
+        (dx, dy)
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+        if dx * dx + dy * dy <= r * r
+    ]
+    return np.asarray(offs, np.int32)
+
+
+def rasterize_offsets(points: jax.Array, valid: jax.Array,
+                      config: FastSLAMConfig):
+    """Compute the pixel-space coordinates and image extent.
+
+    Matches ``__create_hough_transformation_image`` (:44-73): offsets bring
+    the scaled minimum to +padding; width/height are data-dependent *values*
+    (static shapes).
+
+    Returns (px [N] int32, py [N] int32, offset_x, offset_y, width, height).
+    """
+    big = jnp.float32(1e9)
+    sx = points[:, 0] * config.hough_scale
+    sy = points[:, 1] * config.hough_scale
+    min_x = jnp.min(jnp.where(valid, sx, big)).astype(jnp.int32)
+    min_y = jnp.min(jnp.where(valid, sy, big)).astype(jnp.int32)
+    max_x = jnp.max(jnp.where(valid, sx, -big)).astype(jnp.int32)
+    max_y = jnp.max(jnp.where(valid, sy, -big)).astype(jnp.int32)
+    pad = config.hough_padding
+    offset_x = jnp.where(min_x < 0, -min_x, 0) + pad
+    offset_y = jnp.where(min_y < 0, -min_y, 0) + pad
+    width = max_x + offset_x + pad
+    height = max_y + offset_y + pad
+    px = sx.astype(jnp.int32) + offset_x
+    py = sy.astype(jnp.int32) + offset_y
+    return px, py, offset_x, offset_y, width, height
+
+
+def hough_lines(points: jax.Array, valid: jax.Array,
+                config: FastSLAMConfig) -> Tuple[HoughLines, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Detect up to ``max_hough_lines`` lines in the scan.
+
+    Args:
+      points: ``[N, 2]`` metric scan points; valid: ``[N]`` bool.
+
+    Returns (lines, offset_x, offset_y, width, height) — the offsets/extent
+    are needed to map intersections back to metric space.
+    """
+    n = points.shape[0]
+    t_bins = config.hough_num_thetas
+    r_bins = config.hough_rho_bins
+    r_half = r_bins // 2
+
+    px, py, off_x, off_y, width, height = rasterize_offsets(points, valid, config)
+
+    # --- disc expansion + per-pixel dedup -------------------------------
+    offs = _disc_offsets(config.hough_point_radius)      # [D, 2]
+    d = offs.shape[0]
+    ex = (px[:, None] + offs[None, :, 0]).reshape(-1)    # [N*D]
+    ey = (py[:, None] + offs[None, :, 1]).reshape(-1)
+    evalid = jnp.repeat(valid, d)
+    # unique pixel ids (int32: coords are >= 0 and < 2^15 after offsetting);
+    # invalid entries get the max sentinel so they sort to the end
+    sentinel = jnp.int32(2**31 - 1)
+    exc = jnp.clip(ex, 0, 32767)
+    eyc = jnp.clip(ey, 0, 32767)
+    pid = jnp.where(evalid, eyc * 32768 + exc, sentinel)
+    order = jnp.argsort(pid)
+    pid_s = pid[order]
+    ex_s = ex[order]
+    ey_s = ey[order]
+    first = jnp.concatenate([jnp.array([True]), pid_s[1:] != pid_s[:-1]])
+    weight = (first & (pid_s < sentinel)).astype(jnp.float32)  # 1 per unique pixel
+
+    # --- vote ------------------------------------------------------------
+    thetas = jnp.arange(t_bins, dtype=jnp.float32) * (jnp.pi / t_bins)
+    cos_t = jnp.cos(thetas)
+    sin_t = jnp.sin(thetas)
+    # rho = x cos(theta) + y sin(theta)  (cv2 convention, image origin)
+    rho = ex_s[:, None].astype(jnp.float32) * cos_t[None, :] + \
+          ey_s[:, None].astype(jnp.float32) * sin_t[None, :]      # [N*D, T]
+    rho_idx = jnp.clip(jnp.round(rho).astype(jnp.int32) + r_half, 0, r_bins - 1)
+    t_idx = jnp.broadcast_to(jnp.arange(t_bins, dtype=jnp.int32)[None, :], rho_idx.shape)
+    flat = (t_idx * r_bins + rho_idx).reshape(-1)
+    w = jnp.broadcast_to(weight[:, None], rho_idx.shape).reshape(-1)
+    acc = jnp.zeros((t_bins * r_bins,), jnp.float32).at[flat].add(w)
+    acc = acc.reshape(t_bins, r_bins)
+
+    # --- threshold + 4-neighbour local max + top-K ----------------------
+    thr = jnp.float32(config.hough_threshold)
+    up = jnp.pad(acc, ((1, 0), (0, 0)))[:-1]
+    down = jnp.pad(acc, ((0, 1), (0, 0)))[1:]
+    left = jnp.pad(acc, ((0, 0), (1, 0)))[:, :-1]
+    right = jnp.pad(acc, ((0, 0), (0, 1)))[:, 1:]
+    is_line = (acc >= thr) & (acc > left) & (acc >= right) & (acc > up) & (acc >= down)
+    score = jnp.where(is_line, acc, -1.0).reshape(-1)
+    k = config.max_hough_lines
+    top_score, top_idx = jax.lax.top_k(score, k)
+    line_valid = top_score > 0
+    line_t = top_idx // r_bins
+    line_r = (top_idx % r_bins) - r_half
+    lines = HoughLines(
+        rho=line_r.astype(jnp.float32),
+        theta=line_t.astype(jnp.float32) * (jnp.pi / t_bins),
+        valid=line_valid,
+    )
+    return lines, off_x, off_y, width, height
+
+
+class Intersections(NamedTuple):
+    xy: jax.Array     # [K*K, 2] metric-space intersection points
+    valid: jax.Array  # [K*K] bool
+
+
+def line_intersections(lines: HoughLines, off_x, off_y, width, height,
+                       config: FastSLAMConfig) -> Intersections:
+    """Pairwise line intersections with the reference's gates (:90-117),
+    mapped back to metric space (:122-145)."""
+    k = lines.rho.shape[0]
+    rho1 = lines.rho[:, None]
+    rho2 = lines.rho[None, :]
+    th1 = lines.theta[:, None]
+    th2 = lines.theta[None, :]
+
+    dtheta = jnp.abs(th1 - th2)
+    dtheta = jnp.minimum(dtheta, jnp.pi - dtheta)
+    angle_ok = dtheta >= config.min_line_angle_rad
+
+    a1, b1 = jnp.cos(th1), jnp.sin(th1)
+    a2, b2 = jnp.cos(th2), jnp.sin(th2)
+    det = a1 * b2 - a2 * b1
+    det_ok = jnp.abs(det) > 1e-10
+    det_safe = jnp.where(det_ok, det, 1.0)
+    x = (b2 * rho1 - b1 * rho2) / det_safe
+    y = (a1 * rho2 - a2 * rho1) / det_safe
+
+    iu = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    ju = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    pair_ok = (iu < ju) & lines.valid[:, None] & lines.valid[None, :]
+    in_img = (x >= 0) & (x < width) & (y >= 0) & (y < height)
+    ok = pair_ok & angle_ok & det_ok & in_img
+
+    # back to metric space (:122-145)
+    mx = (x - off_x) / config.hough_scale
+    my = (y - off_y) / config.hough_scale
+    xy = jnp.stack([mx.reshape(-1), my.reshape(-1)], axis=-1)
+    return Intersections(xy=xy, valid=ok.reshape(-1))

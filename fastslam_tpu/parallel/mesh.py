@@ -1,0 +1,58 @@
+"""Device mesh helpers for particle-axis data parallelism.
+
+The reference's only parallelism is a GIL-bound thread pool over 20 particles
+(``fast_slam_2.py:42-53``, SURVEY.md §2.2).  Here particles are a sharded
+array axis over a ``jax.sharding.Mesh``: every per-particle kernel shards
+trivially, and the global reductions the reference does serially (weight
+normalization ``:161-175``, Neff ``:212-223``, argmax pose ``:201-210``,
+resampling ``:177-199``) compile to XLA collectives over ICI/DCN via GSPMD —
+we annotate shardings and let the compiler insert psum/all-gather where
+needed (the scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastslam_tpu.config import FastSLAMConfig
+from fastslam_tpu.core.state import FilterState
+
+
+def make_mesh(config: FastSLAMConfig, devices: Optional[Sequence] = None,
+              map_parallelism: int = 1) -> Mesh:
+    """1-D (or 2-D with a map axis) mesh over the given devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if map_parallelism > 1:
+        assert n % map_parallelism == 0
+        shape = (n // map_parallelism, map_parallelism)
+        return Mesh(
+            np.asarray(devices).reshape(shape),
+            (config.particle_axis, config.map_axis),
+        )
+    return Mesh(np.asarray(devices), (config.particle_axis,))
+
+
+def state_sharding(mesh: Mesh, config: FastSLAMConfig) -> FilterState:
+    """A FilterState-shaped pytree of NamedShardings: every array sharded on
+    its leading particle axis, the RNG key replicated."""
+    pax = config.particle_axis
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    return FilterState(
+        poses=s(pax, None),
+        log_weights=s(pax),
+        lm_mean=s(pax, None, None),
+        lm_cov=s(pax, None, None),
+        lm_count=s(pax),
+        rng=s(),
+    )
+
+
+def shard_state(state: FilterState, mesh: Mesh, config: FastSLAMConfig) -> FilterState:
+    """Place an existing state onto the mesh with the canonical sharding."""
+    sh = state_sharding(mesh, config)
+    return jax.tree.map(jax.device_put, state, sh)

@@ -1,0 +1,86 @@
+"""Simulator, replay, and end-to-end SLAM-on-replay tests (SURVEY.md §4:
+the fake-backend + replay fixtures the reference never had)."""
+
+import numpy as np
+import pytest
+
+from fastslam_tpu.config import FastSLAMConfig
+from fastslam_tpu.drivers.replay import LaserLog, ReplayDriver, record_log
+from fastslam_tpu.drivers.sim_world import SimWorld
+from fastslam_tpu.app.runner import run_driver
+from fastslam_tpu.eval.metrics import ate_rmse, evaluate_tick
+
+
+def test_sim_laser_geometry():
+    from fastslam_tpu.drivers.sim_world import rectangle
+
+    w = SimWorld(segments=rectangle(-5.0, -4.0, 5.0, 4.0))  # empty room
+    scan = w.get_laser()
+    pts, valid = scan.to_points()
+    assert valid.sum() > 100
+    # beam 90 points straight ahead (+x): wall at x=5
+    assert scan.values[90] == pytest.approx(5.0, abs=1e-6)
+    # beam 0 points at -90deg (-y): wall at y=-4
+    assert scan.values[0] == pytest.approx(4.0, abs=1e-6)
+
+
+def test_sim_bumper_and_motion():
+    w = SimWorld(x=4.8, y=0.5, yaw=0.0)  # 0.2m from the +x wall at 5.0
+    assert w.get_bumper().state == 1
+    w2 = SimWorld(x=0.0, y=0.0, yaw=0.0)
+    assert w2.get_bumper().state == 0
+    w2.set_velocity(1.0, 0.0)
+    w2.step()
+    # 40% velocity absorption (robot.py:144 compensation)
+    assert w2.x == pytest.approx(1.0 * 0.6 * w2.dt, abs=1e-9)
+
+
+def test_record_and_replay_round_trip(tmp_path):
+    world = SimWorld(seed=1)
+    log = record_log(world, num_ticks=50)
+    path = str(tmp_path / "log.npz")
+    log.save(path)
+    loaded = LaserLog.load(path)
+    np.testing.assert_array_equal(loaded.scans, log.scans)
+    np.testing.assert_array_equal(loaded.gt_poses, log.gt_poses)
+
+    drv = ReplayDriver(loaded)
+    n = 1
+    while drv.step():
+        n += 1
+    assert n == 50
+
+
+def test_evaluate_tick_formulas():
+    ev = evaluate_tick((1.0, 2.0, np.pi / 2), (0.5, 2.0, 0.0))
+    assert ev.x_deviation == pytest.approx(50.0)
+    assert ev.y_deviation == pytest.approx(0.0)
+    assert ev.angular_deviation == pytest.approx(50.0)
+    assert ev.distance == pytest.approx(0.5)
+    assert ev.average_deviation == pytest.approx(100.0 / 3)
+
+
+@pytest.mark.slow
+def test_e2e_slam_on_replay_log():
+    """Full pipeline on a short synthetic log: dead-reckoning warmup tracks
+    odometry; the filter produces finite estimates and a sane map."""
+    world = SimWorld(seed=2)
+    log = record_log(world, num_ticks=120)
+    cfg = FastSLAMConfig(
+        num_particles=64,
+        max_landmarks=32,
+        warmup_iterations=60,
+    )
+    hist = run_driver(ReplayDriver(log), cfg, rng=0)
+    assert len(hist.est_poses) == 120
+    est = np.asarray(hist.est_poses)
+    gt = np.asarray(hist.gt_poses)
+    assert np.isfinite(est).all()
+    # during warmup the estimate is pure dead reckoning == noiseless odometry
+    # integration of the same commands; in this noise-free sim it must track
+    # ground truth closely
+    warm_ate = ate_rmse(gt[:60, :2], est[:60, :2])
+    assert warm_ate < 0.3, f"warmup dead-reckoning ATE {warm_ate}"
+    # over the whole run the estimate should stay in the room
+    full_ate = ate_rmse(gt[:, :2], est[:, :2])
+    assert full_ate < 1.5, f"full-run ATE {full_ate}"

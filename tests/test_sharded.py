@@ -1,0 +1,86 @@
+"""Sharded-step tests on the 8-device virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8): the multi-chip path must compile,
+keep state sharded on the particle axis, and agree with the single-device
+result given identical RNG."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastslam_tpu.config import FastSLAMConfig
+from fastslam_tpu.core import kernels
+from fastslam_tpu.core.state import init_state, pad_measurements
+from fastslam_tpu.parallel.mesh import make_mesh, shard_state, state_sharding
+from fastslam_tpu.parallel.sharded import make_sharded_step
+
+CFG = FastSLAMConfig(num_particles=64, max_landmarks=16, max_measurements=4)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    return make_mesh(CFG)
+
+
+def test_state_shards_on_particle_axis(mesh):
+    st = shard_state(init_state(CFG, rng=0), mesh, CFG)
+    shard_shapes = [s.data.shape for s in st.poses.addressable_shards]
+    assert all(shape == (8, 3) for shape in shard_shapes)
+    assert len(shard_shapes) == 8
+
+
+def test_sharded_step_runs_and_stays_sharded(mesh):
+    step = make_sharded_step(CFG, mesh)
+    st = shard_state(init_state(CFG, rng=0), mesh, CFG)
+    ms = pad_measurements(CFG, [(2.0, 0.3), (3.5, -0.7)])
+    st2, pose = step(st, jnp.float32(0.0), jnp.float32(0.4), ms)
+    assert pose.shape == (3,)
+    assert np.isfinite(np.asarray(pose)).all()
+    # still sharded over 8 devices after the step
+    assert len(st2.lm_mean.addressable_shards) == 8
+    assert int(st2.lm_count.max()) >= 1
+
+
+def test_sharded_matches_single_device():
+    """Same seed, same inputs: sharded and unsharded execution agree."""
+    ms = pad_measurements(CFG, [(2.0, 0.3), (3.5, -0.7)])
+
+    mesh1 = make_mesh(CFG, devices=jax.devices()[:1])
+    mesh8 = make_mesh(CFG)
+
+    st1 = shard_state(init_state(CFG, rng=7), mesh1, CFG)
+    st8 = shard_state(init_state(CFG, rng=7), mesh8, CFG)
+    step1 = make_sharded_step(CFG, mesh1)
+    step8 = make_sharded_step(CFG, mesh8)
+
+    for _ in range(3):
+        st1, pose1 = step1(st1, jnp.float32(0.0), jnp.float32(0.4), ms)
+        st8, pose8 = step8(st8, jnp.float32(0.0), jnp.float32(0.4), ms)
+
+    np.testing.assert_allclose(np.asarray(pose1), np.asarray(pose8), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st1.log_weights), np.asarray(st8.log_weights), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.lm_mean), np.asarray(st8.lm_mean), atol=1e-5
+    )
+
+
+def test_resampling_gathers_across_shards(mesh):
+    """Force a resample where all weight lives on shard 0 — every shard's
+    particles must become copies of shard-0 particles (cross-shard gather)."""
+    st = init_state(CFG, rng=1)
+    lw = np.full(CFG.num_particles, -60.0, np.float32)
+    lw[:4] = np.log(0.25)  # all mass on 4 particles of shard 0
+    poses = np.zeros((CFG.num_particles, 3), np.float32)
+    poses[:, 0] = np.arange(CFG.num_particles)  # identify ancestors by x
+    st = st._replace(
+        log_weights=jnp.asarray(lw), poses=jnp.asarray(poses)
+    )
+    st = shard_state(st, mesh, CFG)
+
+    idx = kernels.systematic_resample_indices(jnp.exp(st.log_weights), jnp.float32(0.001))
+    out = kernels.resample_state(st, idx, CFG)
+    xs = np.asarray(out.poses[:, 0])
+    assert set(xs.astype(int)) <= {0, 1, 2, 3}
