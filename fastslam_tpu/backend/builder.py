@@ -1,0 +1,125 @@
+"""Pose-graph construction from a SLAM run.
+
+Bridges the filter front-end to the backend: keyframes are subsampled ticks,
+odometry factors come from the relative motion between consecutive keyframe
+pose estimates, and observation factors are the tick's (range, bearing)
+corner measurements.  Landmark identities are established by greedy world-
+frame clustering of the projected observations (nearest existing landmark
+within a gate, else a new landmark) — the batch analog of the filter's
+per-particle association (``landmark_utils.py:92-117``).
+
+Host-side NumPy: graph construction is a one-off per optimization window,
+not a hot path; the optimizer itself (backend.pose_graph) is jitted.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from fastslam_tpu.backend.pose_graph import PoseGraph
+
+
+def build_pose_graph(
+    keyframe_poses: np.ndarray,
+    measurements: Sequence[np.ndarray],
+    *,
+    association_gate: float = 0.8,
+    max_landmarks: int = 256,
+    max_factors: int = 4096,
+    odo_sigma_xy: float = 0.05,
+    odo_sigma_theta: float = 0.02,
+    obs_sigma_r: float = 0.1,
+    obs_sigma_b: float = 0.05,
+    prior_sigma: float = 1e-3,
+) -> PoseGraph:
+    """Assemble a masked fixed-capacity PoseGraph.
+
+    Args:
+      keyframe_poses: ``[K, 3]`` initial pose estimates (e.g. filter output).
+      measurements: length-K list of ``[m_k, 2]`` (range, bearing) arrays.
+    """
+    import jax.numpy as jnp
+
+    kf = np.asarray(keyframe_poses, np.float64)
+    k = kf.shape[0]
+
+    # odometry factors from consecutive keyframe estimates
+    odo_rel = np.zeros((k - 1, 3))
+    for i in range(k - 1):
+        a, b = kf[i], kf[i + 1]
+        c, s = np.cos(a[2]), np.sin(a[2])
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        odo_rel[i] = [
+            c * dx + s * dy,
+            -s * dx + c * dy,
+            (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi,
+        ]
+    odo_info = np.tile(
+        [1.0 / odo_sigma_xy ** 2, 1.0 / odo_sigma_xy ** 2, 1.0 / odo_sigma_theta ** 2],
+        (k - 1, 1),
+    )
+
+    # landmark association by world-frame proximity
+    landmarks: List[np.ndarray] = []
+    obs_kf, obs_lm, obs_rb = [], [], []
+    for i in range(k):
+        ms = np.asarray(measurements[i], np.float64).reshape(-1, 2)
+        for dist, bearing in ms:
+            wx = kf[i, 0] + dist * np.cos(kf[i, 2] + bearing)
+            wy = kf[i, 1] + dist * np.sin(kf[i, 2] + bearing)
+            w = np.array([wx, wy])
+            j_best, d_best = -1, association_gate
+            for j, lm in enumerate(landmarks):
+                d = float(np.linalg.norm(lm - w))
+                if d < d_best:
+                    j_best, d_best = j, d
+            if j_best < 0:
+                if len(landmarks) >= max_landmarks:
+                    continue
+                j_best = len(landmarks)
+                landmarks.append(w.copy())
+            else:
+                # running average refines the initial estimate
+                landmarks[j_best] = 0.5 * (landmarks[j_best] + w)
+            obs_kf.append(i)
+            obs_lm.append(j_best)
+            obs_rb.append([dist, bearing])
+
+    f = min(len(obs_kf), max_factors)
+    l = max_landmarks
+
+    lm_arr = np.zeros((l, 2))
+    for j, lm in enumerate(landmarks):
+        lm_arr[j] = lm
+    lm_valid = np.zeros(l, bool)
+    lm_valid[: len(landmarks)] = True
+
+    obs_kf_arr = np.zeros(max_factors, np.int32)
+    obs_lm_arr = np.zeros(max_factors, np.int32)
+    obs_rb_arr = np.zeros((max_factors, 2))
+    obs_valid = np.zeros(max_factors, bool)
+    if f > 0:
+        obs_kf_arr[:f] = obs_kf[:f]
+        obs_lm_arr[:f] = obs_lm[:f]
+        obs_rb_arr[:f] = np.asarray(obs_rb[:f]).reshape(f, 2)
+        obs_valid[:f] = True
+    obs_info = np.tile([1.0 / obs_sigma_r ** 2, 1.0 / obs_sigma_b ** 2],
+                       (max_factors, 1))
+
+    as32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    return PoseGraph(
+        poses=as32(kf),
+        landmarks=as32(lm_arr),
+        lm_valid=jnp.asarray(lm_valid),
+        odo_rel=as32(odo_rel),
+        odo_info=as32(odo_info),
+        odo_valid=jnp.asarray(np.ones(k - 1, bool)),
+        obs_kf=jnp.asarray(obs_kf_arr),
+        obs_lm=jnp.asarray(obs_lm_arr),
+        obs_rb=as32(obs_rb_arr),
+        obs_info=as32(obs_info),
+        obs_valid=jnp.asarray(obs_valid),
+        prior_info=as32(np.full(3, 1.0 / prior_sigma ** 2)),
+    )

@@ -1,0 +1,172 @@
+"""Distributed pose-graph optimization: Schur complement over a map-axis mesh.
+
+BASELINE.json config #5: 1M landmarks in blocks + pose-graph backend via
+distributed Schur complement.  The structure (see backend.pose_graph):
+
+* landmark slots and their observation factors shard over the mesh's map
+  axis — ``landmark_system`` is embarrassingly shard-local (per-landmark 2x2
+  Hll inverses, per-shard Hpl blocks);
+* the reduced pose system is tiny ([3K, 3K] for K keyframes), so each
+  shard's partial ``(hpp_diag, bp_obs, cross, rs_corr)`` is ``psum``-ed over
+  the map axis and the solve happens replicated;
+* back-substitution of landmark updates is again shard-local.
+
+Factor-to-shard placement: the builder emits factors sorted by landmark
+index; ``shard_pose_graph`` re-buckets them so each factor lives on the shard
+owning its landmark (obs_lm becomes a local slot index).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from fastslam_tpu.backend.pose_graph import (
+    PoseGraph,
+    backsubstitute_landmarks,
+    landmark_system,
+    pose_system,
+    wrap_angle,
+)
+
+
+def shard_pose_graph(g: PoseGraph, num_shards: int) -> PoseGraph:
+    """Re-bucket landmarks/factors so shard s owns landmark slots
+    [s*L/n, (s+1)*L/n) and exactly the factors that observe them.
+
+    Returns a PoseGraph whose landmark/factor arrays are permutations with
+    per-shard-local factor capacity; obs_lm stays a GLOBAL slot index (the
+    shard-local conversion happens inside the shard_map body).
+    """
+    l = g.landmarks.shape[0]
+    f = g.obs_kf.shape[0]
+    assert l % num_shards == 0, "landmark capacity must divide the mesh"
+    per_shard_l = l // num_shards
+    per_shard_f = f // num_shards
+
+    obs_lm = np.asarray(g.obs_lm)
+    obs_valid = np.asarray(g.obs_valid)
+    shard_of = obs_lm // per_shard_l
+
+    # bucket factors by owning shard; overflow drops (capacity is static)
+    order = []
+    dropped = 0
+    for s in range(num_shards):
+        members = np.where((shard_of == s) & obs_valid)[0].tolist()
+        if len(members) > per_shard_f:
+            dropped += len(members) - per_shard_f
+            members = members[:per_shard_f]
+        pad = [int(np.argmin(obs_valid))] * (per_shard_f - len(members))
+        order.extend(members + pad)
+        # mark pads invalid below via mask rebuild
+    order = np.asarray(order, np.int64)
+
+    new_valid = np.zeros(f, bool)
+    pos = 0
+    for s in range(num_shards):
+        members = np.where((shard_of == s) & obs_valid)[0]
+        n = min(len(members), per_shard_f)
+        new_valid[pos: pos + n] = True
+        pos += per_shard_f
+
+    return g._replace(
+        obs_kf=jnp.asarray(np.asarray(g.obs_kf)[order]),
+        obs_lm=jnp.asarray(obs_lm[order]),
+        obs_rb=jnp.asarray(np.asarray(g.obs_rb)[order]),
+        obs_info=jnp.asarray(np.asarray(g.obs_info)[order]),
+        obs_valid=jnp.asarray(new_valid),
+    )
+
+
+def make_sharded_gn_step(mesh: Mesh, map_axis: str = "map"):
+    """Compile one distributed damped-GN step.
+
+    Sharding: poses replicated; landmarks + observation factors on the map
+    axis.  Collective cost per iteration: one psum of
+    [K,3,3]+[K,3]+[K,K,3,3]+[K,3] — independent of landmark count.
+    """
+
+    def local_body(poses, landmarks, odo_rel, odo_info, odo_valid,
+                   obs_kf, obs_lm, obs_rb, obs_info, obs_valid,
+                   prior_info, damping):
+        k = poses.shape[0]
+        shard = jax.lax.axis_index(map_axis)
+        l_local = landmarks.shape[0]
+        # global -> local landmark slot ids
+        local_lm = obs_lm - shard * l_local
+
+        g_local = PoseGraph(
+            poses=poses, landmarks=landmarks,
+            lm_valid=jnp.ones(l_local, bool),
+            odo_rel=odo_rel, odo_info=odo_info, odo_valid=odo_valid,
+            obs_kf=obs_kf, obs_lm=local_lm, obs_rb=obs_rb,
+            obs_info=obs_info, obs_valid=obs_valid,
+            prior_info=prior_info,
+        )
+
+        hpp_diag, bp_obs, cross, rs_corr, hll_inv, bl, hpl_dense = (
+            landmark_system(poses, landmarks, g_local, damping)
+        )
+        hpp_diag, bp_obs, cross, rs_corr = jax.lax.psum(
+            (hpp_diag, bp_obs, cross, rs_corr), map_axis
+        )
+
+        big_h, bp = pose_system(poses, g_local, damping)
+        big_h = big_h.at[jnp.arange(k), jnp.arange(k)].add(hpp_diag) - cross
+        rs = (bp + bp_obs - rs_corr).reshape(3 * k)
+        s_mat = big_h.transpose(0, 2, 1, 3).reshape(3 * k, 3 * k)
+
+        dp = jax.scipy.linalg.solve(s_mat, rs, assume_a="pos").reshape(k, 3)
+        dl = backsubstitute_landmarks(dp, hll_inv, bl, hpl_dense)
+
+        new_poses = poses + dp
+        new_poses = new_poses.at[:, 2].set(wrap_angle(new_poses[:, 2]))
+        return new_poses, landmarks + dl
+
+    mspec = P(map_axis)
+    r = P()
+    body = shard_map(
+        local_body, mesh=mesh,
+        in_specs=(r, mspec, r, r, r, mspec, mspec, mspec, mspec, mspec, r, r),
+        out_specs=(r, mspec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(g: PoseGraph, damping):
+        return body(
+            g.poses, g.landmarks, g.odo_rel, g.odo_info, g.odo_valid,
+            g.obs_kf, g.obs_lm, g.obs_rb, g.obs_info, g.obs_valid,
+            g.prior_info, damping,
+        )
+
+    return step
+
+
+def optimize_sharded(g: PoseGraph, mesh: Mesh, num_iters: int = 10,
+                     damping: float = 1e-6, map_axis: str = "map"):
+    """LM loop over the distributed GN step (host-side accept/reject)."""
+    from fastslam_tpu.backend.pose_graph import total_error
+
+    num_shards = mesh.shape[map_axis]
+    g = shard_pose_graph(g, num_shards)
+    step = make_sharded_gn_step(mesh, map_axis)
+
+    err = float(total_error(g.poses, g.landmarks, g))
+    lam = damping
+    poses, landmarks = g.poses, g.landmarks
+    for _ in range(num_iters):
+        new_p, new_l = step(g._replace(poses=poses, landmarks=landmarks),
+                            jnp.float32(lam))
+        new_err = float(total_error(new_p, new_l, g))
+        if new_err < err:
+            poses, landmarks, err, lam = new_p, new_l, new_err, lam * 0.5
+        else:
+            lam *= 10.0
+    return poses, landmarks, err

@@ -1,0 +1,81 @@
+"""Filter -> backend integration: pose-graph smoothing of a SLAM run.
+
+Takes a replay log plus the filter's estimated trajectory, subsamples
+keyframes, re-extracts corner measurements at each keyframe with the jitted
+front-end, builds the pose graph, and optimizes.  This is the trajectory
+refinement stage the reference never had: the filter's argmax-particle
+estimate drifts; the smoother pulls it back onto the loop closures.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastslam_tpu.backend.builder import build_pose_graph
+from fastslam_tpu.backend.pose_graph import optimize
+from fastslam_tpu.config import FastSLAMConfig
+from fastslam_tpu.drivers.base import LaserScan
+from fastslam_tpu.drivers.replay import LaserLog
+from fastslam_tpu.frontend.pipeline import scan_to_measurements
+
+
+def extract_keyframe_measurements(
+    log: LaserLog, keyframe_ticks: np.ndarray, config: FastSLAMConfig
+):
+    """Run the front-end on each keyframe's scan; returns a list of
+    [m_k, 2] (range, bearing) arrays."""
+    frontend = jax.jit(lambda p, v: scan_to_measurements(p, v, config))
+    out = []
+    for t in keyframe_ticks:
+        scan = LaserScan(
+            values=log.scans[t], min_range=log.min_range,
+            max_range=log.max_range, timestamp=float(log.timestamps[t]),
+        )
+        pts, valid = scan.to_points()
+        ms = frontend(jnp.asarray(pts), jnp.asarray(valid))
+        mask = np.asarray(ms.valid)
+        out.append(np.asarray(ms.range_bearing)[mask])
+    return out
+
+
+def smooth_trajectory(
+    log: LaserLog,
+    est_poses: np.ndarray,
+    config: FastSLAMConfig,
+    *,
+    keyframe_stride: int = 10,
+    num_iters: int = 15,
+    max_landmarks: int = 64,
+    max_factors: int = 1024,
+    association_gate: float = 0.8,
+) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """Pose-graph smoothing over keyframes of a finished run.
+
+    Args:
+      log: the replayed laser log.
+      est_poses: ``[T, 3]`` filter trajectory.
+
+    Returns (smoothed_keyframe_poses [K, 3], keyframe_ticks [K], info).
+    """
+    t_total = min(len(log), len(est_poses))
+    ticks = np.arange(0, t_total, keyframe_stride)
+    kf_poses = np.asarray(est_poses)[ticks]
+
+    measurements = extract_keyframe_measurements(log, ticks, config)
+    graph = build_pose_graph(
+        kf_poses, measurements,
+        association_gate=association_gate,
+        max_landmarks=max_landmarks, max_factors=max_factors,
+    )
+    poses, landmarks, err, hist = optimize(graph, num_iters=num_iters)
+    info = {
+        "final_error": float(err),
+        "num_keyframes": len(ticks),
+        "num_landmarks": int(np.asarray(graph.lm_valid).sum()),
+        "num_factors": int(np.asarray(graph.obs_valid).sum()),
+    }
+    return np.asarray(poses), ticks, info

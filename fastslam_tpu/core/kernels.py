@@ -297,8 +297,22 @@ def update_particles(state: FilterState, measurements: Measurements,
 
     The reference processes measurements strictly serially (``fast_slam_2.py:48``)
     — measurement k may associate against a landmark appended by measurement
-    k-1 — so this is a ``lax.scan`` with the map arrays as carry.
+    k-1 — so this is a ``lax.scan`` with the map arrays as carry.  With
+    ``config.use_pallas`` the whole scan runs as one fused Pallas kernel that
+    keeps each particle tile's landmark block in VMEM across all measurements
+    (same arithmetic, ~M-fold less HBM traffic).
     """
+    if config.use_pallas:
+        from fastslam_tpu.core.pallas_kernels import fused_update
+
+        log_w, mean, cov, count = fused_update(
+            state.poses, state.log_weights, state.lm_mean, state.lm_cov,
+            state.lm_count, measurements.range_bearing, measurements.valid,
+            config, interpret=config.pallas_interpret,
+        )
+        return state._replace(
+            log_weights=log_w, lm_mean=mean, lm_cov=cov, lm_count=count
+        )
 
     def step(carry, zs):
         log_w, mean, cov, count = carry

@@ -1,0 +1,348 @@
+"""Pallas TPU kernels for the hot paths.
+
+Two kernels, per the north-star design (BASELINE.json):
+
+* :func:`fused_update` — the batched associate + 2x2-EKF + weight update for
+  ALL measurements of a tick in one kernel.  The XLA ``lax.scan`` formulation
+  (core/kernels.py:update_particles) re-reads and re-writes the full
+  ``[P, L]`` landmark block from HBM once per measurement (M x 300 MB at
+  P=100k, L=64); this kernel tiles particles onto the grid, loads each tile's
+  landmark block into VMEM once, runs the serial measurement loop on-chip,
+  and writes back once — ~M-fold less HBM traffic for the dominant cost.
+  The arithmetic is bit-identical to the scan path (same formulas in the
+  same order, f32).
+
+* :func:`icp_correspondences` — tiled nearest-neighbour search for large
+  point clouds (the ICP inner loop), tiling source points over the grid with
+  the target cloud resident in VMEM, computing the [tile, M] distance matrix
+  on the VPU.
+
+Layout note: landmark state is passed as six separate ``[P, L]`` component
+planes (mean x/y, cov a/b/c/d) rather than ``[P, L, k]`` so the lane
+dimension is the landmark-slot axis — dense VPU math, no strided access.
+Scalars (weights, counts) ride as ``[P, 1]`` columns.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastslam_tpu.config import FastSLAMConfig
+
+_LOG_TWO_PI = float(jnp.log(2.0 * jnp.pi))
+
+
+def _pick_tile(p: int, preferred=(1024, 800, 512, 400, 256, 200, 128, 100, 64, 40, 32, 16, 8)) -> int:
+    for t in preferred:
+        if p % t == 0:
+            return t
+    return p
+
+
+# ---------------------------------------------------------------------------
+# fused associate + EKF + weight update
+# ---------------------------------------------------------------------------
+
+def _fused_update_kernel(
+    # scalar-prefetch
+    z_ref,        # [M, 2] SMEM: (distance, bearing)
+    zvalid_ref,   # [M, 1] SMEM int32
+    # inputs (VMEM tiles)
+    px_ref, py_ref, yaw_ref,          # [T, 1]
+    logw_in,                          # [T, 1]
+    mx_in, my_in,                     # [T, L]
+    ca_in, cb_in, cc_in, cd_in,       # [T, L]
+    cnt_in,                           # [T, 1] int32
+    # outputs
+    logw_out, mx_out, my_out, ca_out, cb_out, cc_out, cd_out, cnt_out,
+    *,
+    num_measurements: int,
+    gate: float,
+    meas_noise: float,
+    default_cov: float,
+    parity: bool,
+):
+    t, l = mx_in.shape
+    px = px_ref[:, :]                 # [T, 1]
+    py = py_ref[:, :]
+    yaw = yaw_ref[:, :]
+
+    mx = mx_in[:, :]
+    my = my_in[:, :]
+    ca = ca_in[:, :]
+    cb = cb_in[:, :]
+    cc = cc_in[:, :]
+    cd = cd_in[:, :]
+    cnt = cnt_in[:, :]                # [T, 1] int32
+    logw = logw_in[:, :]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (t, l), 1)
+
+    for m in range(num_measurements):
+        dist_z = z_ref[m, 0]
+        bearing_z = z_ref[m, 1]
+        z_ok = zvalid_ref[m, 0] > 0
+
+        lm_valid = slot < cnt                       # [T, L]
+
+        # world-frame observation (append position; assoc query in prod mode)
+        wx = px + dist_z * jnp.cos(yaw + bearing_z)  # [T, 1]
+        wy = py + dist_z * jnp.sin(yaw + bearing_z)
+        if parity:
+            qx = dist_z * jnp.cos(bearing_z)         # robot-frame quirk
+            qy = dist_z * jnp.sin(bearing_z)
+            dx_q = mx - qx
+            dy_q = my - qy
+        else:
+            dx_q = mx - wx
+            dy_q = my - wy
+
+        det = ca * cd - cb * cc
+        usable = lm_valid & (det > 0.0)
+        inv_det = 1.0 / jnp.where(usable, det, 1.0)
+        # Mahalanobis^2 with closed-form inverse
+        d2 = (dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)) * inv_det
+        dist2 = jnp.where(usable, d2, jnp.inf)
+        hit = usable & (dist2 < gate * gate)
+        has_match = jnp.any(hit, axis=1, keepdims=True)          # [T, 1]
+
+        if parity:
+            # first hit: min slot index among hits
+            idx = jnp.min(jnp.where(hit, slot, l), axis=1, keepdims=True)
+        else:
+            # best hit: slot of min distance
+            best = jnp.min(dist2, axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(dist2 == best, slot, l), axis=1, keepdims=True)
+        onehot = (slot == idx) & has_match                       # [T, L]
+        oh = onehot.astype(mx.dtype)
+
+        # gather matched slot by one-hot contraction (dense, no gather op)
+        mu_x = jnp.sum(mx * oh, axis=1, keepdims=True)
+        mu_y = jnp.sum(my * oh, axis=1, keepdims=True)
+        a = jnp.sum(ca * oh, axis=1, keepdims=True)
+        b = jnp.sum(cb * oh, axis=1, keepdims=True)
+        c = jnp.sum(cc * oh, axis=1, keepdims=True)
+        d = jnp.sum(cd * oh, axis=1, keepdims=True)
+
+        dx = mu_x - px
+        dy = mu_y - py
+        q = jnp.maximum(dx * dx + dy * dy, 1e-12)
+        r = jnp.sqrt(q)
+        nu_r = dist_z - r
+        nu_b = bearing_z - (jnp.arctan2(dy, dx) - yaw)
+        nu_b = (nu_b + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+
+        h00 = dx / r
+        h01 = dy / r
+        h10 = -dy / q
+        h11 = dx / q
+
+        u0 = h00 * a + h01 * c
+        u1 = h00 * b + h01 * d
+        v0 = h10 * a + h11 * c
+        v1 = h10 * b + h11 * d
+        s00 = u0 * h00 + u1 * h01 + meas_noise
+        s01 = u0 * h10 + u1 * h11
+        s10 = v0 * h00 + v1 * h01
+        s11 = v0 * h10 + v1 * h11 + meas_noise
+
+        s_det = s00 * s11 - s01 * s10
+        s_det_safe = jnp.maximum(jnp.abs(s_det), 1e-18) * jnp.sign(s_det + 1e-30)
+        i00 = s11 / s_det_safe
+        i01 = -s01 / s_det_safe
+        i10 = -s10 / s_det_safe
+        i11 = s00 / s_det_safe
+
+        m0 = a * h00 + b * h01
+        m1 = c * h00 + d * h01
+        n0 = a * h10 + b * h11
+        n1 = c * h10 + d * h11
+        k00 = m0 * i00 + n0 * i10
+        k01 = m0 * i01 + n0 * i11
+        k10 = m1 * i00 + n1 * i10
+        k11 = m1 * i01 + n1 * i11
+
+        new_mu_x = mu_x + k00 * nu_r + k01 * nu_b
+        new_mu_y = mu_y + k10 * nu_r + k11 * nu_b
+
+        g00 = 1.0 - (k00 * h00 + k01 * h10)
+        g01 = -(k00 * h01 + k01 * h11)
+        g10 = -(k10 * h00 + k11 * h10)
+        g11 = 1.0 - (k10 * h01 + k11 * h11)
+        new_a = g00 * a + g01 * c
+        new_b = g00 * b + g01 * d
+        new_c = g10 * a + g11 * c
+        new_d = g10 * b + g11 * d
+        if not parity:
+            off = 0.5 * (new_b + new_c)
+            new_b = off
+            new_c = off
+
+        maha = i00 * nu_r * nu_r + (i01 + i10) * nu_r * nu_b + i11 * nu_b * nu_b
+        log_lik = -0.5 * (maha + jnp.log(jnp.maximum(s_det, 1e-30))) - _LOG_TWO_PI
+
+        can_append = cnt < l
+        do_update = has_match & z_ok                              # [T, 1]
+        do_append = (~has_match) & can_append & z_ok
+
+        upd = onehot & do_update                                  # [T, L]
+        app = (slot == cnt) & do_append
+
+        mx = jnp.where(upd, new_mu_x, mx)
+        my = jnp.where(upd, new_mu_y, my)
+        ca = jnp.where(upd, new_a, ca)
+        cb = jnp.where(upd, new_b, cb)
+        cc = jnp.where(upd, new_c, cc)
+        cd = jnp.where(upd, new_d, cd)
+
+        mx = jnp.where(app, wx, mx)
+        my = jnp.where(app, wy, my)
+        ca = jnp.where(app, default_cov, ca)
+        cb = jnp.where(app, 0.0, cb)
+        cc = jnp.where(app, 0.0, cc)
+        cd = jnp.where(app, default_cov, cd)
+
+        cnt = cnt + do_append.astype(jnp.int32)
+        logw = jnp.where(do_update, logw + log_lik, logw)
+
+    logw_out[:, :] = logw
+    mx_out[:, :] = mx
+    my_out[:, :] = my
+    ca_out[:, :] = ca
+    cb_out[:, :] = cb
+    cc_out[:, :] = cc
+    cd_out[:, :] = cd
+    cnt_out[:, :] = cnt
+
+
+def fused_update(
+    poses: jax.Array,        # [P, 3]
+    log_weights: jax.Array,  # [P]
+    lm_mean: jax.Array,      # [P, L, 2]
+    lm_cov: jax.Array,       # [P, L, 4]
+    lm_count: jax.Array,     # [P]
+    z: jax.Array,            # [M, 2]
+    z_valid: jax.Array,      # [M] bool
+    config: FastSLAMConfig,
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused per-tick measurement update; drop-in for the lax.scan path.
+
+    Returns ``(log_weights, lm_mean, lm_cov, lm_count)``.
+    """
+    p, l = lm_mean.shape[0], lm_mean.shape[1]
+    m = z.shape[0]
+    tile = _pick_tile(p)
+    grid = (p // tile,)
+    dt = lm_mean.dtype
+
+    col = lambda x: x.reshape(p, 1)
+    # index maps get (grid_idx, *scalar_prefetch_refs) under
+    # PrefetchScalarGridSpec, hence the *_ catch-all
+    plane = pl.BlockSpec((tile, l), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    column = pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _fused_update_kernel,
+        num_measurements=m,
+        gate=float(config.max_landmark_distance),
+        meas_noise=float(config.measurement_noise),
+        default_cov=float(config.default_landmark_cov),
+        parity=bool(config.parity_mode),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[column] * 4 + [plane] * 6 + [column],
+        out_specs=[column] + [plane] * 6 + [column],
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((p, 1), dt),            # logw
+        *([jax.ShapeDtypeStruct((p, l), dt)] * 6),   # mx my ca cb cc cd
+        jax.ShapeDtypeStruct((p, 1), jnp.int32),     # cnt
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        z.astype(dt),
+        z_valid.astype(jnp.int32).reshape(m, 1),
+        col(poses[:, 0]), col(poses[:, 1]), col(poses[:, 2]),
+        col(log_weights),
+        lm_mean[:, :, 0], lm_mean[:, :, 1],
+        lm_cov[:, :, 0], lm_cov[:, :, 1], lm_cov[:, :, 2], lm_cov[:, :, 3],
+        lm_count.reshape(p, 1),
+    )
+    logw, mx, my, ca, cb, cc, cd, cnt = outs
+    new_mean = jnp.stack([mx, my], axis=-1)
+    new_cov = jnp.stack([ca, cb, cc, cd], axis=-1)
+    return logw.reshape(p), new_mean, new_cov, cnt.reshape(p)
+
+
+# ---------------------------------------------------------------------------
+# tiled ICP nearest-neighbour correspondence
+# ---------------------------------------------------------------------------
+
+def _nn_kernel(src_ref, tgt_ref, tvalid_ref, dist_ref, idx_ref):
+    """For a tile of source points, brute-force NN over the full target cloud
+    (resident in VMEM), masked by target validity."""
+    sx = src_ref[:, 0:1]                        # [T, 1]
+    sy = src_ref[:, 1:2]
+    txp = tgt_ref[:, 0]                         # [Mt]
+    typ = tgt_ref[:, 1]
+    tval = tvalid_ref[:, 0] > 0                 # [Mt]
+
+    dx = sx - txp[None, :]                      # [T, Mt]
+    dy = sy - typ[None, :]
+    d2 = dx * dx + dy * dy
+    d2 = jnp.where(tval[None, :], d2, jnp.inf)
+    best = jnp.min(d2, axis=1, keepdims=True)   # [T, 1]
+    mt = d2.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    idx = jnp.min(jnp.where(d2 == best, lane, mt), axis=1, keepdims=True)
+    dist_ref[:, :] = jnp.sqrt(best)
+    idx_ref[:, :] = idx
+
+
+def icp_correspondences(
+    source: jax.Array, target: jax.Array, target_valid: jax.Array,
+    *, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Tiled NN correspondence: for each source point the closest valid
+    target point.  Returns (dist [N], idx [N])."""
+    n = source.shape[0]
+    mt = target.shape[0]
+    tile = _pick_tile(n, preferred=(512, 256, 128, 64, 32, 16, 8))
+    grid = (n // tile,)
+
+    dist, idx = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mt, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mt, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), source.dtype),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(source, target, target_valid.astype(jnp.int32).reshape(mt, 1))
+    return dist.reshape(n), idx.reshape(n)
