@@ -57,6 +57,13 @@ class SLAMRunner:
         self._step = jax.jit(
             lambda st, rot, trans, ms: kernels.fastslam_step(st, rot, trans, ms, config)
         )
+        if config.use_icp_proposal:
+            from fastslam_tpu.proposal.icp import icp_point_to_line
+
+            self._icp = jax.jit(
+                lambda s, t, sv, tv: icp_point_to_line(s, t, sv, tv, config)
+            )
+            self._prev_scan = None
 
     # ------------------------------------------------------------ odometry
     def odometry(self, v: float, w: float, timestamp: float) -> tuple:
@@ -70,6 +77,38 @@ class SLAMRunner:
         if v != 0:
             return 0.0, v * dt * self.config.velocity_fudge
         return w * dt, 0.0
+
+    # ---------------------------------------------------------- ICP proposal
+    def icp_refine(self, points: np.ndarray, valid: np.ndarray,
+                   rotation: float, translation: float, v: float):
+        """FastSLAM 2.0 motion proposal: blend command odometry with an ICP
+        scan-match between the previous and current scans.
+
+        Follows the reference's (disabled) ICP odometry convention
+        (robot.py:90-120): translating ticks take |t| from the match,
+        rotating ticks take the matched rotation angle; ``icp_blend``
+        interpolates between command and scan-match odometry.
+        """
+        from fastslam_tpu.proposal.icp import icp_odometry
+        import jax.numpy as jnp
+
+        cur = (np.asarray(points, np.float32), np.asarray(valid))
+        prev = self._prev_scan
+        self._prev_scan = cur
+        if prev is None:
+            return rotation, translation
+        res = self._icp(
+            jnp.asarray(prev[0]), jnp.asarray(cur[0]),
+            jnp.asarray(prev[1]), jnp.asarray(cur[1]),
+        )
+        # the match maps prev->cur in the robot frame; the robot moved by the
+        # inverse, so a forward translation appears as a negative icp shift
+        icp_rot, icp_trans = icp_odometry(res, jnp.float32(v))
+        a = self.config.icp_blend
+        return (
+            (1.0 - a) * rotation + a * float(icp_rot),
+            (1.0 - a) * translation + a * float(icp_trans),
+        )
 
     # ------------------------------------------------------------- one tick
     def tick(self, points: np.ndarray, valid: np.ndarray, rotation: float,
@@ -129,6 +168,10 @@ def run_driver(
             driver.set_velocity(v, w)
 
         rotation, translation = runner.odometry(v, w, scan.timestamp)
+        if config.use_icp_proposal:
+            rotation, translation = runner.icp_refine(
+                points, valid, rotation, translation, v
+            )
         est = runner.tick(points, valid, rotation, translation)
 
         gp = driver.get_pose()

@@ -74,6 +74,12 @@ class FastSLAMConfig:
     # ---- ICP proposal (icp.py:16-17) ----
     icp_max_iterations: int = 100
     icp_tolerance: float = 1e-5
+    # FastSLAM 2.0 motion proposal: refine the command odometry with an ICP
+    # scan match between consecutive scans (the reference ships ICP but keeps
+    # it disabled — robot.py:94-95; the north star promotes it).
+    use_icp_proposal: bool = False
+    # blend factor: odometry = (1-a)*command + a*icp  (1.0 = pure ICP)
+    icp_blend: float = 0.5
 
     # ---- motion / app loop ----
     velocity_fudge: float = 0.6           # sim reduces commanded v by 40% (robot.py:144)

@@ -38,8 +38,10 @@ import jax.numpy as jnp
 from fastslam_tpu.config import FastSLAMConfig
 from fastslam_tpu.core.state import FilterState, Measurements
 
-_TWO_PI = 2.0 * jnp.pi
-_LOG_TWO_PI = jnp.log(2.0 * jnp.pi)
+import math
+
+_TWO_PI = 2.0 * math.pi
+_LOG_TWO_PI = math.log(2.0 * math.pi)
 
 
 def wrap_angle(theta: jax.Array) -> jax.Array:

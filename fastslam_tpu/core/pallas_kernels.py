@@ -26,6 +26,7 @@ Scalars (weights, counts) ride as ``[P, 1]`` columns.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -35,7 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fastslam_tpu.config import FastSLAMConfig
 
-_LOG_TWO_PI = float(jnp.log(2.0 * jnp.pi))
+# NOTE: pure-Python math, not jnp — this module is imported lazily, possibly
+# inside an active jit trace, where any jnp op would produce a tracer.
+_LOG_TWO_PI = math.log(2.0 * math.pi)
 
 
 def _pick_tile(p: int, preferred=(1024, 800, 512, 400, 256, 200, 128, 100, 64, 40, 32, 16, 8)) -> int:

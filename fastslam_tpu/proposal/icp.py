@@ -120,6 +120,113 @@ def icp(
                      mean_error=err, num_iters=it)
 
 
+def estimate_normals(points: jax.Array, valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-point unit normals from along-scan tangents.
+
+    Laser scans are ordered by bearing, so neighbouring beams trace the local
+    surface; the normal is the unit perpendicular of the central-difference
+    tangent.  Points whose neighbours are invalid get an invalid normal.
+    """
+    nxt = jnp.roll(points, -1, axis=0)
+    prv = jnp.roll(points, 1, axis=0)
+    tangent = nxt - prv
+    norm = jnp.sqrt(jnp.sum(tangent * tangent, axis=-1, keepdims=True))
+    ok = (
+        valid
+        & jnp.roll(valid, -1)
+        & jnp.roll(valid, 1)
+        & (norm[:, 0] > 1e-9)
+    )
+    t_unit = tangent / jnp.maximum(norm, 1e-9)
+    normals = jnp.stack([-t_unit[:, 1], t_unit[:, 0]], axis=-1)
+    return normals, ok
+
+
+def icp_point_to_line(
+    source: jax.Array,
+    target: jax.Array,
+    source_valid: jax.Array,
+    target_valid: jax.Array,
+    config: FastSLAMConfig,
+) -> ICPResult:
+    """Point-to-line ICP (2-D point-to-plane).
+
+    Point-to-point ICP systematically under-estimates motion parallel to
+    walls (the aperture problem: wall-parallel correspondences pull the
+    translation toward zero).  Minimizing the distance to the target's local
+    *line* instead — residual ``(R s + t - q) . n_q`` — removes that bias:
+    each match constrains only the normal direction.  Per iteration the
+    small-angle linearization gives a 3x3 normal-equation solve in
+    (theta, tx, ty), closed form via explicit cofactors.
+    """
+    normals, n_ok = estimate_normals(target, target_valid)
+    sw = source_valid.astype(source.dtype)
+
+    def cond(carry):
+        it, _, _, _, prev_err, err, converged = carry
+        return (it < config.icp_max_iterations) & (~converged)
+
+    def body(carry):
+        it, src, rot_total, trans_total, prev_err, _, _ = carry
+        dist, idx = nearest_neighbors(src, target, target_valid)
+        q = target[idx]
+        n = normals[idx]
+        w = sw * n_ok[idx].astype(src.dtype)
+
+        r = (src[:, 0] - q[:, 0]) * n[:, 0] + (src[:, 1] - q[:, 1]) * n[:, 1]
+        # J = [cross(s, n), n_x, n_y] per point
+        j0 = src[:, 0] * n[:, 1] - src[:, 1] * n[:, 0]
+        j1 = n[:, 0]
+        j2 = n[:, 1]
+
+        h00 = jnp.sum(w * j0 * j0) + 1e-9
+        h01 = jnp.sum(w * j0 * j1)
+        h02 = jnp.sum(w * j0 * j2)
+        h11 = jnp.sum(w * j1 * j1) + 1e-9
+        h12 = jnp.sum(w * j1 * j2)
+        h22 = jnp.sum(w * j2 * j2) + 1e-9
+        b0 = -jnp.sum(w * j0 * r)
+        b1 = -jnp.sum(w * j1 * r)
+        b2 = -jnp.sum(w * j2 * r)
+
+        # 3x3 symmetric solve via cofactors
+        c00 = h11 * h22 - h12 * h12
+        c01 = h02 * h12 - h01 * h22
+        c02 = h01 * h12 - h02 * h11
+        det = h00 * c00 + h01 * c01 + h02 * c02
+        det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+        c11 = h00 * h22 - h02 * h02
+        c12 = h01 * h02 - h00 * h12
+        c22 = h00 * h11 - h01 * h01
+        theta = (c00 * b0 + c01 * b1 + c02 * b2) / det
+        tx = (c01 * b0 + c11 * b1 + c12 * b2) / det
+        ty = (c02 * b0 + c12 * b1 + c22 * b2) / det
+
+        c, sn = jnp.cos(theta), jnp.sin(theta)
+        rot = jnp.array([[c, -sn], [sn, c]])
+        trans = jnp.array([tx, ty])
+        src = src @ rot.T + trans
+        rot_total = rot @ rot_total
+        trans_total = rot @ trans_total + trans
+
+        err = jnp.sum(dist * w) / jnp.maximum(jnp.sum(w), 1e-12)
+        converged = jnp.abs(prev_err - err) < config.icp_tolerance
+        return it + 1, src, rot_total, trans_total, err, err, converged
+
+    init = (
+        jnp.int32(0),
+        source,
+        jnp.eye(2, dtype=source.dtype),
+        jnp.zeros((2,), source.dtype),
+        jnp.asarray(jnp.inf, source.dtype),
+        jnp.asarray(jnp.inf, source.dtype),
+        jnp.asarray(False),
+    )
+    it, _, rot_total, trans_total, _, err, _ = jax.lax.while_loop(cond, body, init)
+    return ICPResult(rotation=rot_total, translation=trans_total,
+                     mean_error=err, num_iters=it)
+
+
 def icp_odometry(result: ICPResult, v: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(rotation, translation) odometry from an ICP result.
 

@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--measurements", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only", choices=["scan", "pallas"], default=None)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -28,7 +29,8 @@ def main():
     from fastslam_tpu.core import kernels
     from fastslam_tpu.core.state import init_state, pad_measurements
 
-    for use_pallas in (False, True):
+    variants = {"scan": (False,), "pallas": (True,)}.get(args.only, (False, True))
+    for use_pallas in variants:
         cfg = FastSLAMConfig(
             num_particles=args.particles,
             max_landmarks=args.landmarks,

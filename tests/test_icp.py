@@ -127,3 +127,27 @@ def test_icp_odometry_modes():
     rot, trans = icp_odometry(res_r, jnp.float32(0.0))
     assert float(trans) == 0.0
     assert abs(float(rot)) == pytest.approx(0.1, abs=0.02)
+
+
+def test_point_to_line_beats_point_to_point_on_wall_slide():
+    """Sliding along a long wall: p2p underestimates the shift (aperture),
+    p2l recovers it."""
+    from fastslam_tpu.proposal.icp import icp_point_to_line
+
+    n = 120
+    # mostly one long wall plus a short perpendicular stub
+    a = np.stack([np.linspace(0, 6, 100), np.zeros(100)], -1)
+    b = np.stack([np.zeros(20), np.linspace(0, 0.8, 20)], -1)
+    src = np.concatenate([a, b]).astype(np.float32)
+    shift = np.array([0.06, 0.0], np.float32)  # slide along the wall
+    dst = src + shift
+    valid = np.ones(n, bool)
+
+    res_pp = icp(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(valid),
+                 jnp.asarray(valid), CFG)
+    res_pl = icp_point_to_line(jnp.asarray(src), jnp.asarray(dst),
+                               jnp.asarray(valid), jnp.asarray(valid), CFG)
+    err_pp = abs(float(jnp.linalg.norm(res_pp.translation)) - 0.06)
+    err_pl = abs(float(jnp.linalg.norm(res_pl.translation)) - 0.06)
+    assert err_pl < 0.01
+    assert err_pl < err_pp  # strictly better on the aperture case
