@@ -39,9 +39,61 @@ from fastslam_tpu.config import FastSLAMConfig
 # NOTE: pure-Python math, not jnp — this module is imported lazily, possibly
 # inside an active jit trace, where any jnp op would produce a tracer.
 _LOG_TWO_PI = math.log(2.0 * math.pi)
+_PI = math.pi
 
 
-def _pick_tile(p: int, preferred=(1024, 800, 512, 400, 256, 200, 128, 100, 64, 40, 32, 16, 8)) -> int:
+def _atan_poly(x):
+    """Cephes-style single-precision atan for x >= 0 (max err ~1e-7 rad).
+
+    Mosaic does not lower ``atan2``/``atan``/``sin``/``cos``; inside kernels
+    all trig must be built from polynomial-friendly ops.  Range reduction:
+    x > tan(3pi/8) -> pi/2 - atan(1/x); x > tan(pi/8) -> pi/4 + atan((x-1)/(x+1)).
+    """
+    t3p8 = 2.414213562373095  # tan(3*pi/8)
+    tp8 = 0.4142135623730950  # tan(pi/8)
+
+    big = x > t3p8
+    mid = (x > tp8) & ~big
+    xr = jnp.where(big, -1.0 / jnp.where(x == 0.0, 1.0, x),
+                   jnp.where(mid, (x - 1.0) / (x + 1.0), x))
+    base = jnp.where(big, _PI / 2.0, jnp.where(mid, _PI / 4.0, 0.0))
+    z = xr * xr
+    p = (((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1)
+         * z - 3.33329491539e-1) * z * xr + xr
+    return base + p
+
+
+def _atan2(y, x):
+    """Vectorized atan2 from the polynomial atan (quadrant-corrected)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    safe_ax = jnp.where(ax == 0.0, 1.0, ax)
+    a = _atan_poly(ay / safe_ax)              # angle in [0, pi/2) vs +x axis
+    a = jnp.where(ax == 0.0, _PI / 2.0, a)    # on the y axis
+    a = jnp.where(x < 0.0, _PI - a, a)        # left half-plane
+    a = jnp.where(y < 0.0, -a, a)             # lower half-plane
+    # atan2(0, x<0) = +pi, atan2(0, x>=0) = 0
+    a = jnp.where((y == 0.0) & (x < 0.0), _PI, a)
+    a = jnp.where((y == 0.0) & (x >= 0.0), 0.0, a)
+    return a
+
+
+def _wrap_pi(x):
+    """Wrap to (-pi, pi] for |x| < 3*pi without mod/floor."""
+    x = jnp.where(x > _PI, x - 2.0 * _PI, x)
+    x = jnp.where(x < -_PI, x + 2.0 * _PI, x)
+    x = jnp.where(x > _PI, x - 2.0 * _PI, x)
+    x = jnp.where(x < -_PI, x + 2.0 * _PI, x)
+    return x
+
+
+def _pick_tile(p: int, preferred=(400, 256, 200, 128, 100, 64, 40, 32, 16, 8)) -> int:
+    """Largest preferred divisor of p (multiples of 8 for sublane tiling).
+
+    Kept modest: the fused kernel holds ~13 [tile, L] planes in VMEM plus the
+    measurement loop's live temporaries; tile 400 x L=64 stays well under the
+    scoped-VMEM limit where 800+ blew it.
+    """
     for t in preferred:
         if p % t == 0:
             return t
@@ -54,10 +106,11 @@ def _pick_tile(p: int, preferred=(1024, 800, 512, 400, 256, 200, 128, 100, 64, 4
 
 def _fused_update_kernel(
     # scalar-prefetch
-    z_ref,        # [M, 2] SMEM: (distance, bearing)
+    z_ref,        # [M, 4] SMEM: (distance, bearing, cos(bearing), sin(bearing))
     zvalid_ref,   # [M, 1] SMEM int32
     # inputs (VMEM tiles)
     px_ref, py_ref, yaw_ref,          # [T, 1]
+    cy_ref, sy_ref,                   # [T, 1] cos(yaw), sin(yaw)
     logw_in,                          # [T, 1]
     mx_in, my_in,                     # [T, L]
     ca_in, cb_in, cc_in, cd_in,       # [T, L]
@@ -75,6 +128,8 @@ def _fused_update_kernel(
     px = px_ref[:, :]                 # [T, 1]
     py = py_ref[:, :]
     yaw = yaw_ref[:, :]
+    cyaw = cy_ref[:, :]
+    syaw = sy_ref[:, :]
 
     mx = mx_in[:, :]
     my = my_in[:, :]
@@ -87,19 +142,23 @@ def _fused_update_kernel(
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (t, l), 1)
 
-    for m in range(num_measurements):
+    def measurement_step(m, carry):
+        mx, my, ca, cb, cc, cd, cnt, logw = carry
         dist_z = z_ref[m, 0]
         bearing_z = z_ref[m, 1]
+        cos_b = z_ref[m, 2]
+        sin_b = z_ref[m, 3]
         z_ok = zvalid_ref[m, 0] > 0
 
         lm_valid = slot < cnt                       # [T, L]
 
-        # world-frame observation (append position; assoc query in prod mode)
-        wx = px + dist_z * jnp.cos(yaw + bearing_z)  # [T, 1]
-        wy = py + dist_z * jnp.sin(yaw + bearing_z)
+        # world-frame observation via angle addition (no in-kernel sin/cos):
+        # cos(yaw+b) = cos yaw cos b - sin yaw sin b, etc.
+        wx = px + dist_z * (cyaw * cos_b - syaw * sin_b)   # [T, 1]
+        wy = py + dist_z * (syaw * cos_b + cyaw * sin_b)
         if parity:
-            qx = dist_z * jnp.cos(bearing_z)         # robot-frame quirk
-            qy = dist_z * jnp.sin(bearing_z)
+            qx = dist_z * cos_b                      # robot-frame quirk
+            qy = dist_z * sin_b
             dx_q = mx - qx
             dy_q = my - qy
         else:
@@ -138,8 +197,8 @@ def _fused_update_kernel(
         q = jnp.maximum(dx * dx + dy * dy, 1e-12)
         r = jnp.sqrt(q)
         nu_r = dist_z - r
-        nu_b = bearing_z - (jnp.arctan2(dy, dx) - yaw)
-        nu_b = (nu_b + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+        # nu_b = wrap(bearing - (atan2(dy,dx) - yaw)); range < 3*pi
+        nu_b = _wrap_pi(bearing_z + yaw - _atan2(dy, dx))
 
         h00 = dx / r
         h01 = dy / r
@@ -213,6 +272,12 @@ def _fused_update_kernel(
 
         cnt = cnt + do_append.astype(jnp.int32)
         logw = jnp.where(do_update, logw + log_lik, logw)
+        return mx, my, ca, cb, cc, cd, cnt, logw
+
+    mx, my, ca, cb, cc, cd, cnt, logw = jax.lax.fori_loop(
+        0, num_measurements, measurement_step,
+        (mx, my, ca, cb, cc, cd, cnt, logw),
+    )
 
     logw_out[:, :] = logw
     mx_out[:, :] = mx
@@ -264,7 +329,7 @@ def fused_update(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[column] * 4 + [plane] * 6 + [column],
+        in_specs=[column] * 6 + [plane] * 6 + [column],
         out_specs=[column] + [plane] * 6 + [column],
     )
 
@@ -274,15 +339,25 @@ def fused_update(
         jax.ShapeDtypeStruct((p, 1), jnp.int32),     # cnt
     )
 
+    # trig precomputed outside the kernel (Mosaic lowers no sin/cos/atan2):
+    # per-measurement (cos b, sin b) columns and per-particle (cos yaw, sin yaw)
+    z_aug = jnp.concatenate(
+        [z.astype(dt), jnp.cos(z[:, 1:2]).astype(dt), jnp.sin(z[:, 1:2]).astype(dt)],
+        axis=1,
+    )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
-        z.astype(dt),
+        z_aug,
         z_valid.astype(jnp.int32).reshape(m, 1),
         col(poses[:, 0]), col(poses[:, 1]), col(poses[:, 2]),
+        col(jnp.cos(poses[:, 2])), col(jnp.sin(poses[:, 2])),
         col(log_weights),
         lm_mean[:, :, 0], lm_mean[:, :, 1],
         lm_cov[:, :, 0], lm_cov[:, :, 1], lm_cov[:, :, 2], lm_cov[:, :, 3],

@@ -38,15 +38,21 @@ def make_mesh(config: FastSLAMConfig, devices: Optional[Sequence] = None,
 
 
 def state_sharding(mesh: Mesh, config: FastSLAMConfig) -> FilterState:
-    """A FilterState-shaped pytree of NamedShardings: every array sharded on
-    its leading particle axis, the RNG key replicated."""
+    """A FilterState-shaped pytree of NamedShardings.
+
+    Every array shards on its leading particle axis; when the mesh also has a
+    map axis (2-D mesh), the landmark-slot dimension of ``lm_mean``/``lm_cov``
+    shards over it as well — association then reduces over a sharded L axis
+    and XLA inserts the cross-shard min/any collectives.  RNG key replicated.
+    """
     pax = config.particle_axis
+    max_ = config.map_axis if config.map_axis in mesh.axis_names else None
     s = lambda *spec: NamedSharding(mesh, P(*spec))
     return FilterState(
         poses=s(pax, None),
         log_weights=s(pax),
-        lm_mean=s(pax, None, None),
-        lm_cov=s(pax, None, None),
+        lm_mean=s(pax, max_, None),
+        lm_cov=s(pax, max_, None),
         lm_count=s(pax),
         rng=s(),
     )

@@ -84,3 +84,46 @@ def test_resampling_gathers_across_shards(mesh):
     out = kernels.resample_state(st, idx, CFG)
     xs = np.asarray(out.poses[:, 0])
     assert set(xs.astype(int)) <= {0, 1, 2, 3}
+
+
+def test_2d_mesh_particles_by_map():
+    """2-D mesh: particles x map — landmark slots shard over the map axis;
+    the filter step still matches the single-device result."""
+    cfg = FastSLAMConfig(num_particles=16, max_landmarks=16, max_measurements=4)
+    mesh2d = make_mesh(cfg, map_parallelism=2)  # 4 x 2 over 8 devices
+    assert mesh2d.shape == {"particles": 4, "map": 2}
+
+    ms = pad_measurements(cfg, [(2.0, 0.3), (3.5, -0.7)])
+    mesh1 = make_mesh(cfg, devices=jax.devices()[:1])
+
+    st1 = shard_state(init_state(cfg, rng=3), mesh1, cfg)
+    st2 = shard_state(init_state(cfg, rng=3), mesh2d, cfg)
+    step1 = make_sharded_step(cfg, mesh1)
+    step2 = make_sharded_step(cfg, mesh2d)
+
+    for _ in range(2):
+        st1, pose1 = step1(st1, jnp.float32(0.0), jnp.float32(0.4), ms)
+        st2, pose2 = step2(st2, jnp.float32(0.0), jnp.float32(0.4), ms)
+
+    np.testing.assert_allclose(np.asarray(pose1), np.asarray(pose2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st1.lm_mean), np.asarray(st2.lm_mean),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st1.lm_count), np.asarray(st2.lm_count))
+
+
+def test_multihost_utils_single_process():
+    from fastslam_tpu.parallel.multihost import (
+        initialize_distributed,
+        local_shard,
+        replicated_to_host,
+    )
+
+    info = initialize_distributed()  # single process: no-op
+    assert info["num_processes"] == 1 and info["global_devices"] == 8
+
+    mesh = make_mesh(CFG)
+    st = shard_state(init_state(CFG, rng=0), mesh, CFG)
+    poses = local_shard(st.poses)
+    assert poses.shape == (CFG.num_particles, 3)
+    rng_host = replicated_to_host(st.log_weights)
+    assert rng_host.shape == (CFG.num_particles,)
