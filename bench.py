@@ -24,6 +24,11 @@ import numpy as np
 
 
 def bench_tpu(num_steps: int = 30):
+    """Time ``num_steps`` data-dependent filter steps inside ONE jit via
+    ``lax.scan`` — one dispatch, one block.  This is immune to async-dispatch
+    accounting artifacts (this container's remote-TPU runtime can report
+    chained out-of-jit dispatches complete early, inflating naive loop
+    timings by >100x)."""
     import jax
     import jax.numpy as jnp
 
@@ -31,29 +36,30 @@ def bench_tpu(num_steps: int = 30):
     from fastslam_tpu.core.kernels import fastslam_step
     from fastslam_tpu.core.state import init_state, pad_measurements
 
+    # fused Pallas kernel on TPU; XLA scan path elsewhere
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
     config = FastSLAMConfig(
-        num_particles=100_000, max_landmarks=64, max_measurements=16
+        num_particles=100_000, max_landmarks=64, max_measurements=16,
+        use_pallas=on_tpu,
     )
     state = init_state(config, rng=0)
     ms_list = [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(16)]
     ms = pad_measurements(config, ms_list)
 
-    step = jax.jit(
-        lambda st, rot, trans, m: fastslam_step(st, rot, trans, m, config)
-    )
+    def body(s, _):
+        s, pose = fastslam_step(
+            s, jnp.float32(0.0), jnp.float32(0.4), ms, config
+        )
+        return s, pose
 
-    rot = jnp.float32(0.0)
-    trans = jnp.float32(0.4)
+    multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=num_steps))
 
-    # warmup: compile + let the landmark maps fill and weights diverge
-    for _ in range(3):
-        state, pose = step(state, rot, trans, ms)
-    jax.block_until_ready(state)
+    state2, _ = multi(state)  # compile + warm
+    jax.block_until_ready(state2)
 
     t0 = time.perf_counter()
-    for _ in range(num_steps):
-        state, pose = step(state, rot, trans, ms)
-    jax.block_until_ready(state)
+    state2, _ = multi(state)
+    jax.block_until_ready(state2)
     dt = time.perf_counter() - t0
 
     updates = config.num_particles * config.max_measurements * num_steps
@@ -92,7 +98,7 @@ def main():
                 "metric": "particle updates/s/chip at 100k particles",
                 "value": round(ups),
                 "unit": "updates/s",
-                "vs_baseline": round(ups / base_ups, 2),
+                "vs_baseline": round(ups / base_ups, 1),
                 "step_seconds": round(step_s, 6),
                 "baseline_updates_per_s": round(base_ups),
             }

@@ -140,10 +140,34 @@ def run_driver(
     config: FastSLAMConfig,
     max_ticks: int = 10_000,
     rng: int = 0,
+    *,
+    serialize_path: Optional[str] = None,
+    serialize_every: int = 1,
+    metrics_path: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 200,
+    health: bool = False,
 ) -> RunHistory:
-    """Drive the full loop against any :class:`Driver` until it is exhausted."""
+    """Drive the full loop against any :class:`Driver` until it is exhausted.
+
+    Optional production hooks (all off by default, zero overhead when unused):
+    viewer-JSON snapshots every ``serialize_every`` ticks (the reference's
+    Serializer flow, jde_robots_main.py:59), JSONL metrics, periodic
+    checkpoints, and health monitoring with automatic recovery.
+    """
     runner = SLAMRunner(config, rng)
     history = RunHistory()
+
+    monitor = None
+    if health:
+        from fastslam_tpu.utils.health import HealthMonitor
+
+        monitor = HealthMonitor(config)
+    metrics = None
+    if metrics_path:
+        from fastslam_tpu.utils.logging_utils import MetricsLog
+
+        metrics = MetricsLog(metrics_path)
 
     # ground-truth offset init (evaluation_utils.py:25-43: the actual pose is
     # shifted so the run starts at the filter's origin)
@@ -179,10 +203,44 @@ def run_driver(
                        (gp.yaw - off[2] + np.pi) % (2 * np.pi) - np.pi])
         history.est_poses.append(est)
         history.gt_poses.append(gt)
-        history.evaluations.append(evaluate_tick(gt, est))
+        ev = evaluate_tick(gt, est)
+        history.evaluations.append(ev)
         history.num_measurements.append(runner._last_num_measurements)
+
+        if monitor is not None:
+            rep = monitor.check(runner.state, est)
+            if not rep.ok:
+                if metrics:
+                    metrics.write("health", tick=ticks, issues=rep.issues)
+                if "nan_or_inf_state" in rep.issues:
+                    runner.state = monitor.recover(
+                        runner.state, est, checkpoint_path=checkpoint_path
+                    )
+        if metrics:
+            metrics.write(
+                "tick", tick=ticks, distance=ev.distance,
+                num_measurements=runner._last_num_measurements,
+            )
+        if serialize_path and ticks % serialize_every == 0:
+            from fastslam_tpu.frontend.global_map import cluster_known_landmarks
+            from fastslam_tpu.io.serializer import serialize_tick
+
+            cents, ok = cluster_known_landmarks(runner.state, config)
+            mask = np.asarray(ok)
+            serialize_tick(
+                est, gt, np.asarray(runner.state.poses),
+                [tuple(map(float, c)) for c in np.asarray(cents)[mask]],
+                ev.to_dict(), path=serialize_path,
+            )
+        if checkpoint_path and ticks and ticks % checkpoint_every == 0:
+            from fastslam_tpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, runner.state, iteration=ticks,
+                            robot_pose=runner.robot)
 
         running = driver.step()
         ticks += 1
 
+    if metrics:
+        metrics.close()
     return history

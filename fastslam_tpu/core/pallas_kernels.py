@@ -87,17 +87,19 @@ def _wrap_pi(x):
     return x
 
 
-def _pick_tile(p: int, preferred=(400, 256, 200, 128, 100, 64, 40, 32, 16, 8)) -> int:
-    """Largest preferred divisor of p (multiples of 8 for sublane tiling).
+def _lane_tile(p: int, max_tile: int = 2048) -> int:
+    """Particle (lane) tile: a multiple of 128 (Mosaic lane-tiling rule);
+    the wrapper pads the particle axis up to a tile multiple.
 
-    Kept modest: the fused kernel holds ~13 [tile, L] planes in VMEM plus the
-    measurement loop's live temporaries; tile 400 x L=64 stays well under the
-    scoped-VMEM limit where 800+ blew it.
-    """
-    for t in preferred:
-        if p % t == 0:
-            return t
-    return p
+    VMEM per program ~ 13 planes x [L, tile] f32 (in + out copies); tile 2048
+    with L=64 is ~13 MB — inside the raised scoped-VMEM budget."""
+    if p <= max_tile:
+        return _round_up(p, 128)
+    return max_tile
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------
@@ -108,13 +110,13 @@ def _fused_update_kernel(
     # scalar-prefetch
     z_ref,        # [M, 4] SMEM: (distance, bearing, cos(bearing), sin(bearing))
     zvalid_ref,   # [M, 1] SMEM int32
-    # inputs (VMEM tiles)
-    px_ref, py_ref, yaw_ref,          # [T, 1]
-    cy_ref, sy_ref,                   # [T, 1] cos(yaw), sin(yaw)
-    logw_in,                          # [T, 1]
-    mx_in, my_in,                     # [T, L]
-    ca_in, cb_in, cc_in, cd_in,       # [T, L]
-    cnt_in,                           # [T, 1] int32
+    # inputs (VMEM tiles, TRANSPOSED layout: particles on the lane axis)
+    px_ref, py_ref, yaw_ref,          # [1, T]
+    cy_ref, sy_ref,                   # [1, T] cos(yaw), sin(yaw)
+    logw_in,                          # [1, T]
+    mx_in, my_in,                     # [L, T]
+    ca_in, cb_in, cc_in, cd_in,       # [L, T]
+    cnt_in,                           # [1, T] int32
     # outputs
     logw_out, mx_out, my_out, ca_out, cb_out, cc_out, cd_out, cnt_out,
     *,
@@ -124,8 +126,14 @@ def _fused_update_kernel(
     default_cov: float,
     parity: bool,
 ):
-    t, l = mx_in.shape
-    px = px_ref[:, :]                 # [T, 1]
+    """Layout note: particles occupy the LANE dimension (last axis) and
+    landmark slots the sublane dimension.  Per-particle scalars are [1, T]
+    rows costing ~T/128 vregs per op; in the naive [T, 1] column layout each
+    scalar op burned a full (8,128) vreg per 8 particles (127/128 lanes idle)
+    and the EKF's ~80 scalar ops dominated the kernel (~30 ms/step).  Rows +
+    sublane reductions bring the whole step to VPU-roofline territory."""
+    l, t = mx_in.shape
+    px = px_ref[:, :]                 # [1, T]
     py = py_ref[:, :]
     yaw = yaw_ref[:, :]
     cyaw = cy_ref[:, :]
@@ -137,10 +145,10 @@ def _fused_update_kernel(
     cb = cb_in[:, :]
     cc = cc_in[:, :]
     cd = cd_in[:, :]
-    cnt = cnt_in[:, :]                # [T, 1] int32
+    cnt = cnt_in[:, :]                # [1, T] int32
     logw = logw_in[:, :]
 
-    slot = jax.lax.broadcasted_iota(jnp.int32, (t, l), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (l, t), 0)
 
     def measurement_step(m, carry):
         mx, my, ca, cb, cc, cd, cnt, logw = carry
@@ -150,11 +158,11 @@ def _fused_update_kernel(
         sin_b = z_ref[m, 3]
         z_ok = zvalid_ref[m, 0] > 0
 
-        lm_valid = slot < cnt                       # [T, L]
+        lm_valid = slot < cnt                       # [L, T]
 
         # world-frame observation via angle addition (no in-kernel sin/cos):
         # cos(yaw+b) = cos yaw cos b - sin yaw sin b, etc.
-        wx = px + dist_z * (cyaw * cos_b - syaw * sin_b)   # [T, 1]
+        wx = px + dist_z * (cyaw * cos_b - syaw * sin_b)   # [1, T]
         wy = py + dist_z * (syaw * cos_b + cyaw * sin_b)
         if parity:
             qx = dist_z * cos_b                      # robot-frame quirk
@@ -167,30 +175,32 @@ def _fused_update_kernel(
 
         det = ca * cd - cb * cc
         usable = lm_valid & (det > 0.0)
-        inv_det = 1.0 / jnp.where(usable, det, 1.0)
-        # Mahalanobis^2 with closed-form inverse
-        d2 = (dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)) * inv_det
-        dist2 = jnp.where(usable, d2, jnp.inf)
-        hit = usable & (dist2 < gate * gate)
-        has_match = jnp.any(hit, axis=1, keepdims=True)          # [T, 1]
+        # Mahalanobis^2 gate WITHOUT a [L, T] divide: d2/det < gate^2 with
+        # det > 0  <=>  d2_raw < gate^2 * det.
+        d2_raw = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
+        hit = usable & (d2_raw < (gate * gate) * det)
+        has_match = jnp.any(hit, axis=0, keepdims=True)          # [1, T]
 
         if parity:
             # first hit: min slot index among hits
-            idx = jnp.min(jnp.where(hit, slot, l), axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(hit, slot, l), axis=0, keepdims=True)
         else:
-            # best hit: slot of min distance
-            best = jnp.min(dist2, axis=1, keepdims=True)
-            idx = jnp.min(jnp.where(dist2 == best, slot, l), axis=1, keepdims=True)
-        onehot = (slot == idx) & has_match                       # [T, L]
+            # best hit: slot of min normalized distance (reciprocal-multiply
+            # instead of divide; approximate is fine for an argmin)
+            inv_det = pl.reciprocal(jnp.where(usable, det, 1.0), approx=True)
+            dist2 = jnp.where(usable, d2_raw * inv_det, jnp.inf)
+            best = jnp.min(dist2, axis=0, keepdims=True)
+            idx = jnp.min(jnp.where(dist2 == best, slot, l), axis=0, keepdims=True)
+        onehot = (slot == idx) & has_match                       # [L, T]
         oh = onehot.astype(mx.dtype)
 
-        # gather matched slot by one-hot contraction (dense, no gather op)
-        mu_x = jnp.sum(mx * oh, axis=1, keepdims=True)
-        mu_y = jnp.sum(my * oh, axis=1, keepdims=True)
-        a = jnp.sum(ca * oh, axis=1, keepdims=True)
-        b = jnp.sum(cb * oh, axis=1, keepdims=True)
-        c = jnp.sum(cc * oh, axis=1, keepdims=True)
-        d = jnp.sum(cd * oh, axis=1, keepdims=True)
+        # gather matched slot by one-hot contraction (sublane reduction)
+        mu_x = jnp.sum(mx * oh, axis=0, keepdims=True)           # [1, T]
+        mu_y = jnp.sum(my * oh, axis=0, keepdims=True)
+        a = jnp.sum(ca * oh, axis=0, keepdims=True)
+        b = jnp.sum(cb * oh, axis=0, keepdims=True)
+        c = jnp.sum(cc * oh, axis=0, keepdims=True)
+        d = jnp.sum(cd * oh, axis=0, keepdims=True)
 
         dx = mu_x - px
         dy = mu_y - py
@@ -250,10 +260,10 @@ def _fused_update_kernel(
         log_lik = -0.5 * (maha + jnp.log(jnp.maximum(s_det, 1e-30))) - _LOG_TWO_PI
 
         can_append = cnt < l
-        do_update = has_match & z_ok                              # [T, 1]
+        do_update = has_match & z_ok                              # [1, T]
         do_append = (~has_match) & can_append & z_ok
 
-        upd = onehot & do_update                                  # [T, L]
+        upd = onehot & do_update                                  # [L, T]
         app = (slot == cnt) & do_append
 
         mx = jnp.where(upd, new_mu_x, mx)
@@ -303,19 +313,25 @@ def fused_update(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused per-tick measurement update; drop-in for the lax.scan path.
 
+    Transposes to the particles-on-lanes layout at the boundary (XLA handles
+    the [P, L] <-> [L, P] transposes; they are HBM-bandwidth cheap relative
+    to the kernel's former column-op cost).
+
     Returns ``(log_weights, lm_mean, lm_cov, lm_count)``.
     """
     p, l = lm_mean.shape[0], lm_mean.shape[1]
     m = z.shape[0]
-    tile = _pick_tile(p)
-    grid = (p // tile,)
+    tile = _lane_tile(p)
+    pp = _round_up(p, tile)  # padded particle count (Mosaic lane-tile rule)
+    grid = (pp // tile,)
     dt = lm_mean.dtype
 
-    col = lambda x: x.reshape(p, 1)
+    pad = lambda x: jnp.pad(x, [(0, pp - p)] + [(0, 0)] * (x.ndim - 1))
+    row = lambda x: pad(x).reshape(1, pp)
     # index maps get (grid_idx, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec, hence the *_ catch-all
-    plane = pl.BlockSpec((tile, l), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
-    column = pl.BlockSpec((tile, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((l, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _fused_update_kernel,
@@ -329,14 +345,14 @@ def fused_update(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[column] * 6 + [plane] * 6 + [column],
-        out_specs=[column] + [plane] * 6 + [column],
+        in_specs=[rowspec] * 6 + [plane] * 6 + [rowspec],
+        out_specs=[rowspec] + [plane] * 6 + [rowspec],
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((p, 1), dt),            # logw
-        *([jax.ShapeDtypeStruct((p, l), dt)] * 6),   # mx my ca cb cc cd
-        jax.ShapeDtypeStruct((p, 1), jnp.int32),     # cnt
+        jax.ShapeDtypeStruct((1, pp), dt),           # logw
+        *([jax.ShapeDtypeStruct((l, pp), dt)] * 6),  # mx my ca cb cc cd
+        jax.ShapeDtypeStruct((1, pp), jnp.int32),    # cnt
     )
 
     # trig precomputed outside the kernel (Mosaic lowers no sin/cos/atan2):
@@ -356,17 +372,18 @@ def fused_update(
     )(
         z_aug,
         z_valid.astype(jnp.int32).reshape(m, 1),
-        col(poses[:, 0]), col(poses[:, 1]), col(poses[:, 2]),
-        col(jnp.cos(poses[:, 2])), col(jnp.sin(poses[:, 2])),
-        col(log_weights),
-        lm_mean[:, :, 0], lm_mean[:, :, 1],
-        lm_cov[:, :, 0], lm_cov[:, :, 1], lm_cov[:, :, 2], lm_cov[:, :, 3],
-        lm_count.reshape(p, 1),
+        row(poses[:, 0]), row(poses[:, 1]), row(poses[:, 2]),
+        row(jnp.cos(poses[:, 2])), row(jnp.sin(poses[:, 2])),
+        row(log_weights),
+        pad(lm_mean[:, :, 0]).T, pad(lm_mean[:, :, 1]).T,
+        pad(lm_cov[:, :, 0]).T, pad(lm_cov[:, :, 1]).T,
+        pad(lm_cov[:, :, 2]).T, pad(lm_cov[:, :, 3]).T,
+        row(lm_count),
     )
     logw, mx, my, ca, cb, cc, cd, cnt = outs
-    new_mean = jnp.stack([mx, my], axis=-1)
-    new_cov = jnp.stack([ca, cb, cc, cd], axis=-1)
-    return logw.reshape(p), new_mean, new_cov, cnt.reshape(p)
+    new_mean = jnp.stack([mx.T[:p], my.T[:p]], axis=-1)
+    new_cov = jnp.stack([ca.T[:p], cb.T[:p], cc.T[:p], cd.T[:p]], axis=-1)
+    return logw.reshape(pp)[:p], new_mean, new_cov, cnt.reshape(pp)[:p]
 
 
 # ---------------------------------------------------------------------------
@@ -402,8 +419,11 @@ def icp_correspondences(
     target point.  Returns (dist [N], idx [N])."""
     n = source.shape[0]
     mt = target.shape[0]
-    tile = _pick_tile(n, preferred=(512, 256, 128, 64, 32, 16, 8))
-    grid = (n // tile,)
+    # source tiles on the sublane axis (multiple of 8); pad and slice back
+    tile = min(256, _round_up(n, 8))
+    np_ = _round_up(n, tile)
+    grid = (np_ // tile,)
+    src = jnp.pad(source, ((0, np_ - n), (0, 0)), constant_values=1e30)
 
     dist, idx = pl.pallas_call(
         _nn_kernel,
@@ -418,9 +438,9 @@ def icp_correspondences(
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((n, 1), source.dtype),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((np_, 1), source.dtype),
+            jax.ShapeDtypeStruct((np_, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(source, target, target_valid.astype(jnp.int32).reshape(mt, 1))
-    return dist.reshape(n), idx.reshape(n)
+    )(src, target, target_valid.astype(jnp.int32).reshape(mt, 1))
+    return dist.reshape(np_)[:n], idx.reshape(np_)[:n]

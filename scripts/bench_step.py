@@ -1,0 +1,75 @@
+"""Honest step timing: K data-dependent filter steps inside ONE jit
+(lax.scan), one dispatch, one block — immune to async-dispatch accounting.
+
+Usage: python scripts/bench_step.py [--pallas/--scan] [--k 50] ...
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument("--landmarks", type=int, default=64)
+    ap.add_argument("--measurements", type=int, default=16)
+    ap.add_argument("--k", type=int, default=50, help="steps inside the jit")
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastslam_tpu.config import FastSLAMConfig
+    from fastslam_tpu.core import kernels
+    from fastslam_tpu.core.state import init_state, pad_measurements
+
+    cfg = FastSLAMConfig(
+        num_particles=args.particles, max_landmarks=args.landmarks,
+        max_measurements=args.measurements, use_pallas=args.pallas,
+    )
+    st = init_state(cfg, rng=0)
+    ms = pad_measurements(
+        cfg, [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(args.measurements)]
+    )
+
+    def body(s, _):
+        s, pose = kernels.fastslam_step(
+            s, jnp.float32(0.0), jnp.float32(0.4), ms, cfg
+        )
+        return s, pose
+
+    multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=args.k))
+
+    t0 = time.time()
+    st2, poses = multi(st)
+    jax.block_until_ready(st2)
+    compile_s = time.time() - t0
+
+    t0 = time.perf_counter()
+    st2, poses = multi(st)
+    jax.block_until_ready(st2)
+    dt = (time.perf_counter() - t0) / args.k
+
+    print(json.dumps({
+        "path": "pallas" if args.pallas else "scan",
+        "step_ms": round(dt * 1e3, 3),
+        "updates_per_s": round(args.particles * args.measurements / dt),
+        "compile_s": round(compile_s, 1),
+        "final_pose_x": round(float(np.asarray(poses)[-1, 0]), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

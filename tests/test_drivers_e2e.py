@@ -84,3 +84,37 @@ def test_e2e_slam_on_replay_log():
     # over the whole run the estimate should stay in the room
     full_ate = ate_rmse(gt[:, :2], est[:, :2])
     assert full_ate < 1.5, f"full-run ATE {full_ate}"
+
+
+@pytest.mark.slow
+def test_run_driver_production_hooks(tmp_path):
+    """serialize/metrics/checkpoint/health hooks all active in one run."""
+    import json
+
+    from fastslam_tpu.drivers.replay import record_log, ReplayDriver
+    from fastslam_tpu.io.serializer import deserialize_tick
+
+    log = record_log(SimWorld(seed=9), num_ticks=60)
+    cfg = FastSLAMConfig(num_particles=32, max_landmarks=16, warmup_iterations=30)
+    shared = str(tmp_path / "fast_slam.json")
+    metrics = str(tmp_path / "metrics.jsonl")
+    ckpt = str(tmp_path / "ck.npz")
+
+    hist = run_driver(
+        ReplayDriver(log), cfg, rng=0,
+        serialize_path=shared, serialize_every=10,
+        metrics_path=metrics, checkpoint_path=ckpt, checkpoint_every=25,
+        health=True,
+    )
+    assert len(hist.est_poses) == 60
+
+    snap = deserialize_tick(shared)
+    assert snap is not None and len(snap["particles"]) == 32
+
+    recs = [json.loads(l) for l in open(metrics)]
+    assert sum(1 for r in recs if r["kind"] == "tick") == 60
+
+    from fastslam_tpu.io.checkpoint import load_checkpoint
+    st, meta = load_checkpoint(ckpt)
+    assert meta["iteration"] in (25, 50)
+    assert st.poses.shape == (32, 3)
