@@ -205,15 +205,17 @@ def _fused_update_kernel(
         dx = mu_x - px
         dy = mu_y - py
         q = jnp.maximum(dx * dx + dy * dy, 1e-12)
-        r = jnp.sqrt(q)
+        rinv = jax.lax.rsqrt(q)           # rsqrt is a fast VPU op; divides are ~10x a mul
+        qinv = rinv * rinv
+        r = q * rinv
         nu_r = dist_z - r
         # nu_b = wrap(bearing - (atan2(dy,dx) - yaw)); range < 3*pi
         nu_b = _wrap_pi(bearing_z + yaw - _atan2(dy, dx))
 
-        h00 = dx / r
-        h01 = dy / r
-        h10 = -dy / q
-        h11 = dx / q
+        h00 = dx * rinv
+        h01 = dy * rinv
+        h10 = -dy * qinv
+        h11 = dx * qinv
 
         u0 = h00 * a + h01 * c
         u1 = h00 * b + h01 * d
@@ -226,10 +228,11 @@ def _fused_update_kernel(
 
         s_det = s00 * s11 - s01 * s10
         s_det_safe = jnp.maximum(jnp.abs(s_det), 1e-18) * jnp.sign(s_det + 1e-30)
-        i00 = s11 / s_det_safe
-        i01 = -s01 / s_det_safe
-        i10 = -s10 / s_det_safe
-        i11 = s00 / s_det_safe
+        sdi = 1.0 / s_det_safe            # one divide, four multiplies
+        i00 = s11 * sdi
+        i01 = -s01 * sdi
+        i10 = -s10 * sdi
+        i11 = s00 * sdi
 
         m0 = a * h00 + b * h01
         m1 = c * h00 + d * h01

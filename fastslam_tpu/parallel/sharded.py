@@ -32,6 +32,40 @@ from fastslam_tpu.core.state import FilterState, Measurements
 from fastslam_tpu.parallel.mesh import state_sharding
 
 
+def _sharded_pallas_update(state: FilterState, measurements: Measurements,
+                           config: FastSLAMConfig, mesh: Mesh) -> FilterState:
+    """The fused Pallas measurement update under shard_map.
+
+    GSPMD cannot partition a custom call, so the (embarrassingly particle-
+    parallel) fused kernel runs per-shard via shard_map — no collectives
+    needed, every particle's landmark block is local — while the rest of the
+    step stays under GSPMD, which inserts the global reductions.
+    """
+    from jax import shard_map
+
+    from fastslam_tpu.core.pallas_kernels import fused_update
+
+    pax = config.particle_axis
+    pspec = P(pax)
+
+    def local(poses, logw, mean, cov, count, rb, valid):
+        return fused_update(
+            poses, logw, mean, cov, count, rb, valid, config,
+            interpret=config.pallas_interpret,
+        )
+
+    logw, mean, cov, count = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(pax, None), pspec, P(pax, None, None), P(pax, None, None),
+                  pspec, P(), P()),
+        out_specs=(pspec, P(pax, None, None), P(pax, None, None), pspec),
+        check_vma=False,
+    )(state.poses, state.log_weights, state.lm_mean, state.lm_cov,
+      state.lm_count, measurements.range_bearing, measurements.valid)
+    return state._replace(log_weights=logw, lm_mean=mean, lm_cov=cov,
+                          lm_count=count)
+
+
 def _constrained_step(
     state: FilterState,
     rotation: jax.Array,
@@ -47,6 +81,36 @@ def _constrained_step(
         return jax.tree.map(jax.lax.with_sharding_constraint, s, shardings)
 
     state = pin(state)
+    if config.use_pallas:
+        # split the step: propagate (GSPMD) -> pallas update (shard_map) ->
+        # weights/resample/estimate (GSPMD collectives)
+        rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
+        p = state.num_particles
+        dt = state.poses.dtype
+        rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
+        trans_noise = config.translation_noise * jax.random.normal(
+            k_trans, (p,), dtype=dt
+        )
+        poses = kernels.propagate_particles(
+            state.poses, rotation, translation, rot_noise, trans_noise
+        )
+        state = pin(state._replace(poses=poses, rng=rng))
+        state = pin(_sharded_pallas_update(state, measurements, config, mesh))
+        log_w = kernels.normalize_log_weights(state.log_weights, config)
+        state = state._replace(log_weights=log_w)
+        neff = kernels.effective_particles(log_w, config)
+        u0 = jax.random.uniform(k_u, (), dtype=dt, maxval=1.0 / p)
+
+        def do_resample(s):
+            idx = kernels.systematic_resample_indices(jnp.exp(s.log_weights), u0)
+            return kernels.resample_state(s, idx, config)
+
+        state = jax.lax.cond(
+            neff < config.resample_threshold_frac * p, do_resample,
+            lambda s: s, state,
+        )
+        return pin(state), kernels.estimate_pose(state)
+
     new_state, pose = kernels.fastslam_step(
         state, rotation, translation, measurements, config
     )

@@ -127,3 +127,26 @@ def test_multihost_utils_single_process():
     assert poses.shape == (CFG.num_particles, 3)
     rng_host = replicated_to_host(st.log_weights)
     assert rng_host.shape == (CFG.num_particles,)
+
+
+def test_sharded_pallas_step_matches_scan(mesh):
+    """use_pallas under sharding: shard_map around the fused kernel
+    (interpret mode on CPU) must match the GSPMD scan path."""
+    cfg_scan = FastSLAMConfig(num_particles=64, max_landmarks=16, max_measurements=4)
+    cfg_pl = cfg_scan.replace(use_pallas=True, pallas_interpret=True)
+    ms = pad_measurements(cfg_scan, [(2.0, 0.3), (3.5, -0.7)])
+
+    st_a = shard_state(init_state(cfg_scan, rng=5), mesh, cfg_scan)
+    st_b = shard_state(init_state(cfg_pl, rng=5), mesh, cfg_pl)
+    step_a = make_sharded_step(cfg_scan, mesh)
+    step_b = make_sharded_step(cfg_pl, mesh)
+
+    for _ in range(2):
+        st_a, pose_a = step_a(st_a, jnp.float32(0.0), jnp.float32(0.4), ms)
+        st_b, pose_b = step_b(st_b, jnp.float32(0.0), jnp.float32(0.4), ms)
+
+    np.testing.assert_allclose(np.asarray(pose_a), np.asarray(pose_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_a.lm_mean), np.asarray(st_b.lm_mean),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st_a.lm_count), np.asarray(st_b.lm_count))
+    assert len(st_b.lm_mean.addressable_shards) == 8
