@@ -36,6 +36,12 @@ class LaserLog:
         return self.scans.shape[0]
 
     def save(self, path: str) -> None:
+        """Save as .fslog (native binary codec) or .npz by extension."""
+        if path.endswith(".fslog"):
+            from fastslam_tpu.io.native_log import write_log
+
+            write_log(path, self)
+            return
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.savez_compressed(
             path,
@@ -52,6 +58,10 @@ class LaserLog:
 
     @staticmethod
     def load(path: str) -> "LaserLog":
+        if path.endswith(".fslog"):
+            from fastslam_tpu.io.native_log import read_log
+
+            return read_log(path)
         z = np.load(path)
         return LaserLog(
             scans=z["scans"],
