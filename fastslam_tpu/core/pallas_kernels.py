@@ -92,7 +92,11 @@ def _lane_tile(p: int, max_tile: int = 2048) -> int:
     the wrapper pads the particle axis up to a tile multiple.
 
     VMEM per program ~ 13 planes x [L, tile] f32 (in + out copies); tile 2048
-    with L=64 is ~13 MB — inside the raised scoped-VMEM budget."""
+    with L=64 is ~13 MB — inside the raised scoped-VMEM budget.
+    FASTSLAM_PALLAS_TILE overrides for tuning experiments."""
+    import os
+
+    max_tile = int(os.environ.get("FASTSLAM_PALLAS_TILE", max_tile))
     if p <= max_tile:
         return _round_up(p, 128)
     return max_tile
