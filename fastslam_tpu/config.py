@@ -90,6 +90,10 @@ class FastSLAMConfig:
     # ---- sharding ----
     particle_axis: str = "particles"      # mesh axis particles are sharded over
     map_axis: str = "map"                 # mesh axis for landmark blocks / keyframes
+    # halo-exchange distributed resampling (weights-only all-gather + ring
+    # neighbour halos; full-gather fallback on degenerate ticks) instead of
+    # the GSPMD global gather.  Sharded runs only.
+    distributed_resample: bool = False
 
     # ---- numerics / backend ----
     dtype: str = "float32"

@@ -81,40 +81,53 @@ def _constrained_step(
         return jax.tree.map(jax.lax.with_sharding_constraint, s, shardings)
 
     state = pin(state)
-    if config.use_pallas:
-        # split the step: propagate (GSPMD) -> pallas update (shard_map) ->
-        # weights/resample/estimate (GSPMD collectives)
-        rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
-        p = state.num_particles
-        dt = state.poses.dtype
-        rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
-        trans_noise = config.translation_noise * jax.random.normal(
-            k_trans, (p,), dtype=dt
+    if not config.use_pallas and not config.distributed_resample:
+        new_state, pose = kernels.fastslam_step(
+            state, rotation, translation, measurements, config
         )
-        poses = kernels.propagate_particles(
-            state.poses, rotation, translation, rot_noise, trans_noise
-        )
-        state = pin(state._replace(poses=poses, rng=rng))
-        state = pin(_sharded_pallas_update(state, measurements, config, mesh))
-        log_w = kernels.normalize_log_weights(state.log_weights, config)
-        state = state._replace(log_weights=log_w)
-        neff = kernels.effective_particles(log_w, config)
-        u0 = jax.random.uniform(k_u, (), dtype=dt, maxval=1.0 / p)
+        return pin(new_state), pose
 
+    # decomposed step: propagate (GSPMD) -> measurement update (shard_map
+    # Pallas or GSPMD scan) -> weights (GSPMD collectives) -> resample
+    # (halo-exchange or GSPMD gather) -> estimate.  RNG stream identical to
+    # kernels.fastslam_step.
+    rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
+    p = state.num_particles
+    dt = state.poses.dtype
+    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
+    trans_noise = config.translation_noise * jax.random.normal(
+        k_trans, (p,), dtype=dt
+    )
+    poses = kernels.propagate_particles(
+        state.poses, rotation, translation, rot_noise, trans_noise
+    )
+    state = pin(state._replace(poses=poses, rng=rng))
+
+    if config.use_pallas:
+        state = pin(_sharded_pallas_update(state, measurements, config, mesh))
+    else:
+        state = pin(kernels.update_particles(state, measurements, config))
+
+    log_w = kernels.normalize_log_weights(state.log_weights, config)
+    state = state._replace(log_weights=log_w)
+    neff = kernels.effective_particles(log_w, config)
+    u0 = jax.random.uniform(k_u, (), dtype=dt, maxval=1.0 / p)
+
+    if config.distributed_resample:
+        from fastslam_tpu.parallel.resample import halo_systematic_resample
+
+        def do_resample(s):
+            return halo_systematic_resample(s, u0, mesh, config)
+    else:
         def do_resample(s):
             idx = kernels.systematic_resample_indices(jnp.exp(s.log_weights), u0)
             return kernels.resample_state(s, idx, config)
 
-        state = jax.lax.cond(
-            neff < config.resample_threshold_frac * p, do_resample,
-            lambda s: s, state,
-        )
-        return pin(state), kernels.estimate_pose(state)
-
-    new_state, pose = kernels.fastslam_step(
-        state, rotation, translation, measurements, config
+    state = jax.lax.cond(
+        neff < config.resample_threshold_frac * p, do_resample,
+        lambda s: s, state,
     )
-    return pin(new_state), pose
+    return pin(state), kernels.estimate_pose(state)
 
 
 def make_sharded_step(config: FastSLAMConfig, mesh: Mesh):
