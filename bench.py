@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def bench_tpu(num_steps: int = 20):
+def bench_tpu(num_steps: int = 10):
     """Time ``num_steps`` data-dependent filter steps inside ONE jit via
     ``lax.scan`` — one dispatch, one block.  This is immune to async-dispatch
     accounting artifacts (this container's remote-TPU runtime can report

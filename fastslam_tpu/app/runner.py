@@ -147,6 +147,8 @@ def run_driver(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 200,
     health: bool = False,
+    odometry_noise: tuple = (0.0, 0.0),
+    odometry_noise_seed: int = 123,
 ) -> RunHistory:
     """Drive the full loop against any :class:`Driver` until it is exhausted.
 
@@ -157,6 +159,10 @@ def run_driver(
     """
     runner = SLAMRunner(config, rng)
     history = RunHistory()
+
+    # optional wheel-slip-style corruption of the odometry the filter sees
+    # (rotation std, translation std); ground truth is unaffected
+    odo_rng = np.random.default_rng(odometry_noise_seed)
 
     monitor = None
     if health:
@@ -192,6 +198,11 @@ def run_driver(
             driver.set_velocity(v, w)
 
         rotation, translation = runner.odometry(v, w, scan.timestamp)
+        if odometry_noise != (0.0, 0.0):
+            if rotation != 0.0:
+                rotation += odo_rng.normal(0.0, odometry_noise[0])
+            if translation != 0.0:
+                translation += odo_rng.normal(0.0, odometry_noise[1])
         if config.use_icp_proposal:
             rotation, translation = runner.icp_refine(
                 points, valid, rotation, translation, v

@@ -80,6 +80,19 @@ class FastSLAMConfig:
     use_icp_proposal: bool = False
     # blend factor: odometry = (1-a)*command + a*icp  (1.0 = pure ICP)
     icp_blend: float = 0.5
+    # particle proposal: "motion" samples from the motion model alone (the
+    # reference's behavior — FastSLAM 1.0, SURVEY.md §7.0 quirk 2);
+    # "fastslam2" samples from the measurement-informed posterior
+    # p(x_t | x_{t-1}, z_t) via the per-particle landmark EKF linearization
+    # (true FastSLAM 2.0; production mode only).
+    proposal_mode: str = "motion"
+    # floors keeping the motion prior invertible despite the reference's
+    # rotation-XOR-translation noise structure.  These also set how much the
+    # measurements may correct the pose per tick in directions the reference
+    # noise model claims are noiseless (lateral, heading-on-translation-ticks)
+    # — too tight and the proposal fights its own corrections.
+    proposal_xy_floor: float = 0.01
+    proposal_theta_floor: float = 0.01
 
     # ---- motion / app loop ----
     velocity_fudge: float = 0.6           # sim reduces commanded v by 40% (robot.py:144)

@@ -153,6 +153,7 @@ def update_particles_one(
     z: jax.Array,
     z_valid: jax.Array,
     config: FastSLAMConfig,
+    update_weights: bool = True,
 ):
     """Process ONE (distance, bearing) measurement against every particle.
 
@@ -288,13 +289,17 @@ def update_particles_one(
     lm_cov = jnp.where(upd_onehot[..., None], new_cov_pl[:, None, :], lm_cov)
     lm_cov = jnp.where(app_onehot[..., None], app_cov[None, None, :], lm_cov)
     lm_count = lm_count + do_append.astype(jnp.int32)
-    log_weights = jnp.where(do_update, log_weights + log_lik, log_weights)
+    if update_weights:
+        # FastSLAM 1.0 weighting; the fastslam2 proposal path weights by the
+        # measurement evidence instead (fastslam2_propose) and skips this
+        log_weights = jnp.where(do_update, log_weights + log_lik, log_weights)
 
     return log_weights, lm_mean, lm_cov, lm_count
 
 
 def update_particles(state: FilterState, measurements: Measurements,
-                     config: FastSLAMConfig) -> FilterState:
+                     config: FastSLAMConfig,
+                     update_weights: bool = True) -> FilterState:
     """Scan the per-measurement update over the padded measurement batch.
 
     The reference processes measurements strictly serially (``fast_slam_2.py:48``)
@@ -304,7 +309,7 @@ def update_particles(state: FilterState, measurements: Measurements,
     keeps each particle tile's landmark block in VMEM across all measurements
     (same arithmetic, ~M-fold less HBM traffic).
     """
-    if config.use_pallas:
+    if config.use_pallas and update_weights:
         from fastslam_tpu.core.pallas_kernels import fused_update
 
         log_w, mean, cov, count = fused_update(
@@ -320,7 +325,8 @@ def update_particles(state: FilterState, measurements: Measurements,
         log_w, mean, cov, count = carry
         z, valid = zs
         log_w, mean, cov, count = update_particles_one(
-            state.poses, log_w, mean, cov, count, z, valid, config
+            state.poses, log_w, mean, cov, count, z, valid, config,
+            update_weights=update_weights,
         )
         return (log_w, mean, cov, count), None
 
@@ -330,6 +336,245 @@ def update_particles(state: FilterState, measurements: Measurements,
         (measurements.range_bearing, measurements.valid),
     )
     return state._replace(log_weights=log_w, lm_mean=mean, lm_cov=cov, lm_count=count)
+
+
+# ---------------------------------------------------------------------------
+# FastSLAM 2.0 measurement-informed proposal
+# ---------------------------------------------------------------------------
+
+def _inv3x3_sym(m):
+    """Closed-form inverse of symmetric 3x3s given as a dict of 6 entries
+    (a00, a01, a02, a11, a12, a22), each [...]-shaped."""
+    a, b, c = m["a00"], m["a01"], m["a02"]
+    d, e, f = m["a11"], m["a12"], m["a22"]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    det = a * co00 + b * co01 + c * co02
+    det = jnp.where(jnp.abs(det) > 1e-18, det, 1e-18)
+    inv_det = 1.0 / det
+    return {
+        "a00": co00 * inv_det,
+        "a01": co01 * inv_det,
+        "a02": co02 * inv_det,
+        "a11": (a * f - c * c) * inv_det,
+        "a12": (b * c - a * e) * inv_det,
+        "a22": (a * d - b * b) * inv_det,
+    }
+
+
+def _chol3x3_sym(m, jitter=1e-9):
+    """Cholesky factor (lower) of symmetric 3x3s in the 6-entry layout.
+    Returns (l00, l10, l11, l20, l21, l22)."""
+    a, b, c = m["a00"] + jitter, m["a01"], m["a02"]
+    d, e, f = m["a11"] + jitter, m["a12"], m["a22"] + jitter
+    l00 = jnp.sqrt(jnp.maximum(a, 1e-18))
+    l10 = b / l00
+    l20 = c / l00
+    l11 = jnp.sqrt(jnp.maximum(d - l10 * l10, 1e-18))
+    l21 = (e - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(f - l20 * l20 - l21 * l21, 1e-18))
+    return l00, l10, l11, l20, l21, l22
+
+
+def fastslam2_propose(
+    state: FilterState,
+    rotation: jax.Array,
+    translation: jax.Array,
+    measurements: Measurements,
+    noise: jax.Array,
+    config: FastSLAMConfig,
+) -> Tuple[FilterState, jax.Array]:
+    """Sample particle poses from the measurement-informed posterior.
+
+    True FastSLAM 2.0 (Montemerlo et al.): instead of sampling from the
+    motion model alone (the reference's behavior, ``fast_slam_2.py:77-87``),
+    each particle's new pose is drawn from
+    ``p(x_t | x_{t-1}, u_t, z_t) ~ N(mu, Sigma)`` with
+
+      Lambda = P_motion^-1 + sum_m Hx' S~^-1 Hx      (information form)
+      eta    = sum_m Hx' S~^-1 nu_m
+      Sigma  = Lambda^-1,  mu = x_pred + Sigma eta
+
+    where ``S~`` is the landmark-side innovation covariance and ``Hx`` the
+    pose Jacobian of the (range, bearing) model, accumulated over every
+    measurement that associates to an existing landmark at the predicted
+    pose.  The importance weight is the measurement evidence
+    ``N(nu; 0, S~ + Hx P_motion Hx')`` — so the subsequent landmark EKF pass
+    must NOT multiply its likelihood again (``update_weights=False``).
+
+    Args:
+      noise: ``[P, 3]`` standard-normal draws for the pose sample.
+
+    Returns ``(state with new poses and updated log-weights, pose_pred)``.
+    """
+    p = state.num_particles
+    dt = state.poses.dtype
+
+    # mean motion (no sampling noise — uncertainty moves into the proposal)
+    rotating = rotation != 0.0
+    yaw_pred = wrap_angle(state.poses[:, 2] + jnp.where(rotating, rotation, 0.0))
+    trans = jnp.where(rotating, 0.0, translation)
+    px = state.poses[:, 0] + trans * jnp.cos(yaw_pred)
+    py = state.poses[:, 1] + trans * jnp.sin(yaw_pred)
+
+    # motion prior covariance in pose space: translation noise along the
+    # heading, rotation noise on theta, with floors for invertibility
+    fxy = config.proposal_xy_floor ** 2
+    fth = config.proposal_theta_floor ** 2
+    s_t2 = jnp.where(rotating, 0.0, config.translation_noise ** 2) + fxy
+    s_r2 = jnp.where(rotating, config.rotation_noise ** 2, 0.0) + fth
+    cy = jnp.cos(yaw_pred)
+    sy = jnp.sin(yaw_pred)
+    # P = R diag(s_t2, fxy) R' on xy; theta independent
+    p00 = cy * cy * s_t2 + sy * sy * fxy
+    p01 = cy * sy * (s_t2 - fxy)
+    p11 = sy * sy * s_t2 + cy * cy * fxy
+    # information of the prior (2x2 xy block + theta)
+    det_p = p00 * p11 - p01 * p01
+    i_p = 1.0 / jnp.maximum(det_p, 1e-18)
+    lam = {
+        "a00": p11 * i_p,
+        "a01": -p01 * i_p,
+        "a02": jnp.zeros_like(p00),
+        "a11": p00 * i_p,
+        "a12": jnp.zeros_like(p00),
+        "a22": 1.0 / s_r2 * jnp.ones_like(p00),
+    }
+    eta = [jnp.zeros_like(px), jnp.zeros_like(px), jnp.zeros_like(px)]
+    log_w_add = jnp.zeros_like(px)
+
+    lm_valid = state.lm_valid_mask()
+
+    def accumulate(carry, zs):
+        lam, eta0, eta1, eta2, log_w_add = carry
+        z, valid = zs
+        dist_z, bearing_z = z[0], z[1]
+
+        # associate against the world-frame observation from the PREDICTED pose
+        wx = px + dist_z * jnp.cos(yaw_pred + bearing_z)
+        wy = py + dist_z * jnp.sin(yaw_pred + bearing_z)
+        query = jnp.stack([wx, wy], axis=-1)
+        idx, has_match = associate(
+            state.lm_mean, state.lm_cov, lm_valid, query, config
+        )
+        use = valid & has_match
+
+        take = lambda arr: jnp.take_along_axis(
+            arr, idx[:, None, None] if arr.ndim == 3 else idx[:, None], axis=1
+        )
+        mu = jnp.squeeze(take(state.lm_mean), 1)       # [P, 2]
+        sig = jnp.squeeze(take(state.lm_cov), 1)       # [P, 4]
+
+        dx = mu[:, 0] - px
+        dy = mu[:, 1] - py
+        q = jnp.maximum(dx * dx + dy * dy, 1e-12)
+        r = jnp.sqrt(q)
+        nu_r = dist_z - r
+        nu_b = wrap_angle(bearing_z - (jnp.arctan2(dy, dx) - yaw_pred))
+
+        # landmark-side innovation covariance S~ = Hm Sig Hm' + R
+        h00 = dx / r
+        h01 = dy / r
+        h10 = -dy / q
+        h11 = dx / q
+        a, b, c, d = sig[:, 0], sig[:, 1], sig[:, 2], sig[:, 3]
+        u0 = h00 * a + h01 * c
+        u1 = h00 * b + h01 * d
+        v0 = h10 * a + h11 * c
+        v1 = h10 * b + h11 * d
+        rn = config.measurement_noise
+        s00 = u0 * h00 + u1 * h01 + rn
+        s01 = u0 * h10 + u1 * h11
+        s11 = v0 * h10 + v1 * h11 + rn
+        s_det = jnp.maximum(s00 * s11 - s01 * s01, 1e-18)
+        si = 1.0 / s_det
+        i00, i01, i11 = s11 * si, -s01 * si, s00 * si
+
+        # chi^2 innovation gate (99% for 2 dof): a measurement whose
+        # innovation is implausible under S~ is a likely mis-association —
+        # feeding it to the proposal would *pull* the pose toward a wrong
+        # consistency instead of merely down-weighting the particle
+        maha_gate = (i00 * nu_r * nu_r + 2.0 * i01 * nu_r * nu_b
+                     + i11 * nu_b * nu_b)
+        use = use & (maha_gate < 9.21)
+
+        # pose Jacobian Hx = [[-dx/r, -dy/r, 0], [dy/q, -dx/q, -1]]
+        g00, g01, g02 = -h00, -h01, jnp.zeros_like(h00)
+        g10, g11_, g12 = -h10, -h11, -jnp.ones_like(h00)
+
+        # Hx' S~^-1 Hx (symmetric 3x3) and Hx' S~^-1 nu
+        # w-columns: S~^-1 rows applied to Hx
+        t00 = i00 * g00 + i01 * g10
+        t01 = i00 * g01 + i01 * g11_
+        t02 = i00 * g02 + i01 * g12
+        t10 = i01 * g00 + i11 * g10
+        t11 = i01 * g01 + i11 * g11_
+        t12 = i01 * g02 + i11 * g12
+
+        d00 = g00 * t00 + g10 * t10
+        d01 = g00 * t01 + g10 * t11
+        d02 = g00 * t02 + g10 * t12
+        d11 = g01 * t01 + g11_ * t11
+        d12 = g01 * t02 + g11_ * t12
+        d22 = g02 * t02 + g12 * t12
+
+        e0 = t00 * nu_r + t10 * nu_b
+        e1 = t01 * nu_r + t11 * nu_b
+        e2 = t02 * nu_r + t12 * nu_b
+
+        usef = use.astype(dt)
+        lam = {
+            "a00": lam["a00"] + usef * d00,
+            "a01": lam["a01"] + usef * d01,
+            "a02": lam["a02"] + usef * d02,
+            "a11": lam["a11"] + usef * d11,
+            "a12": lam["a12"] + usef * d12,
+            "a22": lam["a22"] + usef * d22,
+        }
+        eta0 = eta0 + usef * e0
+        eta1 = eta1 + usef * e1
+        eta2 = eta2 + usef * e2
+
+        # evidence weight: N(nu; 0, S~ + Hx P0 Hx')  — prior-inflated
+        # innovation covariance (project the motion prior through Hx)
+        # Hx P0 Hx' with P0 = [[p00,p01,0],[p01,p11,0],[0,0,s_r2]]
+        q00 = g00 * (p00 * g00 + p01 * g01) + g01 * (p01 * g00 + p11 * g01)
+        q01 = g00 * (p00 * g10 + p01 * g11_) + g01 * (p01 * g10 + p11 * g11_)
+        q11 = (g10 * (p00 * g10 + p01 * g11_) + g11_ * (p01 * g10 + p11 * g11_)
+               + s_r2 * g12 * g12)
+        z00 = s00 + q00
+        z01 = s01 + q01
+        z11 = s11 + q11
+        z_det = jnp.maximum(z00 * z11 - z01 * z01, 1e-30)
+        zi = 1.0 / z_det
+        maha = (z11 * nu_r * nu_r - 2.0 * z01 * nu_r * nu_b + z00 * nu_b * nu_b) * zi
+        log_ev = -0.5 * (maha + jnp.log(z_det)) - _LOG_TWO_PI
+        log_w_add = log_w_add + jnp.where(use, log_ev, 0.0)
+
+        return (lam, eta0, eta1, eta2, log_w_add), None
+
+    (lam, eta0, eta1, eta2, log_w_add), _ = jax.lax.scan(
+        accumulate, (lam, eta[0], eta[1], eta[2], log_w_add),
+        (measurements.range_bearing, measurements.valid),
+    )
+
+    sigma = _inv3x3_sym(lam)
+    mu0 = px + sigma["a00"] * eta0 + sigma["a01"] * eta1 + sigma["a02"] * eta2
+    mu1 = py + sigma["a01"] * eta0 + sigma["a11"] * eta1 + sigma["a12"] * eta2
+    mu2 = yaw_pred + sigma["a02"] * eta0 + sigma["a12"] * eta1 + sigma["a22"] * eta2
+
+    l00, l10, l11, l20, l21, l22 = _chol3x3_sym(sigma)
+    n0, n1, n2 = noise[:, 0], noise[:, 1], noise[:, 2]
+    new_x = mu0 + l00 * n0
+    new_y = mu1 + l10 * n0 + l11 * n1
+    new_yaw = wrap_angle(mu2 + l20 * n0 + l21 * n1 + l22 * n2)
+
+    poses = jnp.stack([new_x, new_y, new_yaw], axis=-1)
+    return (
+        state._replace(poses=poses, log_weights=state.log_weights + log_w_add),
+        jnp.stack([px, py, yaw_pred], axis=-1),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -434,13 +679,26 @@ def fastslam_step(
     rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
     p = state.num_particles
     dt = state.poses.dtype
-    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
-    trans_noise = config.translation_noise * jax.random.normal(k_trans, (p,), dtype=dt)
 
-    poses = propagate_particles(state.poses, rotation, translation, rot_noise, trans_noise)
-    state = state._replace(poses=poses, rng=rng)
-
-    state = update_particles(state, measurements, config)
+    if config.proposal_mode == "fastslam2" and not config.parity_mode:
+        # measurement-informed proposal (true FastSLAM 2.0); weights carry the
+        # measurement evidence, so the landmark EKF pass skips weighting
+        noise = jax.random.normal(k_rot, (p, 3), dtype=dt)
+        state = state._replace(rng=rng)
+        state, _ = fastslam2_propose(
+            state, rotation, translation, measurements, noise, config
+        )
+        state = update_particles(state, measurements, config, update_weights=False)
+    else:
+        rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
+        trans_noise = config.translation_noise * jax.random.normal(
+            k_trans, (p,), dtype=dt
+        )
+        poses = propagate_particles(
+            state.poses, rotation, translation, rot_noise, trans_noise
+        )
+        state = state._replace(poses=poses, rng=rng)
+        state = update_particles(state, measurements, config)
 
     log_w = normalize_log_weights(state.log_weights, config)
     state = state._replace(log_weights=log_w)
