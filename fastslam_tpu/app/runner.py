@@ -81,15 +81,18 @@ class SLAMRunner:
     # ---------------------------------------------------------- ICP proposal
     def icp_refine(self, points: np.ndarray, valid: np.ndarray,
                    rotation: float, translation: float, v: float):
-        """FastSLAM 2.0 motion proposal: blend command odometry with an ICP
-        scan-match between the previous and current scans.
+        """FastSLAM 2.0 motion proposal: refine the command odometry with an
+        ICP scan-match between the previous and current scans.
 
-        Follows the reference's (disabled) ICP odometry convention
-        (robot.py:90-120): translating ticks take |t| from the match,
-        rotating ticks take the matched rotation angle; ``icp_blend``
-        interpolates between command and scan-match odometry.
+        The match is WARM-STARTED with the command odometry: the previous
+        scan is first transformed by the predicted motion, ICP estimates only
+        the small residual, and the composite transform is converted back to
+        (rotation, translation) odometry under the reference's convention
+        (robot.py:90-120: translating ticks take |t|, rotating ticks the
+        angle).  Without the warm start, large per-tick rotations alias along
+        walls and ICP under-estimates turns by ~15%, which integrates into
+        trajectory divergence.  ``icp_blend`` interpolates command vs match.
         """
-        from fastslam_tpu.proposal.icp import icp_odometry
         import jax.numpy as jnp
 
         cur = (np.asarray(points, np.float32), np.asarray(valid))
@@ -97,17 +100,31 @@ class SLAMRunner:
         self._prev_scan = cur
         if prev is None:
             return rotation, translation
+
+        # predicted motion prev->cur frame: x_cur = R(-rot) x_prev - (trans, 0)
+        c, s = np.cos(-rotation), np.sin(-rotation)
+        r_pred = np.array([[c, -s], [s, c]], np.float32)
+        pre = prev[0] @ r_pred.T - np.array([translation, 0.0], np.float32)
+
         res = self._icp(
-            jnp.asarray(prev[0]), jnp.asarray(cur[0]),
+            jnp.asarray(pre), jnp.asarray(cur[0]),
             jnp.asarray(prev[1]), jnp.asarray(cur[1]),
         )
-        # the match maps prev->cur in the robot frame; the robot moved by the
-        # inverse, so a forward translation appears as a negative icp shift
-        icp_rot, icp_trans = icp_odometry(res, jnp.float32(v))
+        r_res = np.asarray(res.rotation)
+        t_res = np.asarray(res.translation)
+        # composite map prev->cur
+        r_comp = r_res @ r_pred
+        t_comp = r_res @ np.array([-translation, 0.0]) + t_res
+
+        if v != 0:
+            icp_rot, icp_trans = 0.0, float(np.linalg.norm(t_comp))
+        else:
+            icp_rot = float(-np.arctan2(r_comp[1, 0], r_comp[0, 0]))
+            icp_trans = 0.0
         a = self.config.icp_blend
         return (
-            (1.0 - a) * rotation + a * float(icp_rot),
-            (1.0 - a) * translation + a * float(icp_trans),
+            (1.0 - a) * rotation + a * icp_rot,
+            (1.0 - a) * translation + a * icp_trans,
         )
 
     # ------------------------------------------------------------- one tick
@@ -175,28 +192,42 @@ def run_driver(
 
         metrics = MetricsLog(metrics_path)
 
-    # ground-truth offset init (evaluation_utils.py:25-43: the actual pose is
-    # shifted so the run starts at the filter's origin)
+    # ground-truth frame alignment: the filter's world frame is the robot's
+    # start pose, so ground truth maps through the full SE(2) inverse of the
+    # start pose.  (The reference only subtracts offsets —
+    # evaluation_utils.py:46-55 — correct only for zero start yaw.)
     p0 = driver.get_pose()
     off = np.array([p0.x, p0.y, p0.yaw])
+    c0, s0 = np.cos(-off[2]), np.sin(-off[2])
 
     running = True
     ticks = 0
+    prev_cmd = (0.0, 0.0)
     while running and ticks < max_ticks:
         scan = driver.get_laser()
         points, valid = scan.to_points()
 
         if hasattr(driver, "commanded_velocity"):
-            v, w = driver.commanded_velocity()
+            cur_cmd = driver.commanded_velocity()
         else:  # live policy (robot.py:61-88)
             bumper = driver.get_bumper()
             if bumper.state == 1:
-                v = 0.0
-                w = config.angular_velocity if bumper.bumper == 0 else -config.angular_velocity
+                cur_cmd = (
+                    0.0,
+                    config.angular_velocity if bumper.bumper == 0
+                    else -config.angular_velocity,
+                )
             else:
-                v, w = config.linear_velocity, 0.0
-            driver.set_velocity(v, w)
+                cur_cmd = (config.linear_velocity, 0.0)
+            driver.set_velocity(*cur_cmd)
 
+        # the scan at tick t reflects motion driven by tick t-1's commands, so
+        # odometry over (t-1, t] must use the PREVIOUS commands.  (The
+        # reference pairs the current commands with the past laser dt —
+        # jde_robots_main.py:25-31 — an off-by-one that is harmless under
+        # steady commands but 100% wrong during alternating bumper ticks.)
+        v, w = prev_cmd
+        prev_cmd = cur_cmd
         rotation, translation = runner.odometry(v, w, scan.timestamp)
         if odometry_noise != (0.0, 0.0):
             if rotation != 0.0:
@@ -210,7 +241,8 @@ def run_driver(
         est = runner.tick(points, valid, rotation, translation)
 
         gp = driver.get_pose()
-        gt = np.array([gp.x - off[0], gp.y - off[1],
+        dx, dy = gp.x - off[0], gp.y - off[1]
+        gt = np.array([c0 * dx - s0 * dy, s0 * dx + c0 * dy,
                        (gp.yaw - off[2] + np.pi) % (2 * np.pi) - np.pi])
         history.est_poses.append(est)
         history.gt_poses.append(gt)

@@ -129,6 +129,8 @@ def _fused_update_kernel(
     meas_noise: float,
     default_cov: float,
     parity: bool,
+    assoc_bf16: bool = False,
+    _skip_ekf: bool = False,
 ):
     """Layout note: particles occupy the LANE dimension (last axis) and
     landmark slots the sublane dimension.  Per-particle scalars are [1, T]
@@ -155,6 +157,17 @@ def _fused_update_kernel(
     slot = jax.lax.broadcasted_iota(jnp.int32, (l, t), 0)
 
     def measurement_step(m, carry):
+        # skip padded measurement slots entirely: the tick's real measurement
+        # count is typically far below the static M_max capacity, and the
+        # masked math would still burn the full [L, T] iteration cost
+        return jax.lax.cond(
+            zvalid_ref[m, 0] > 0,
+            lambda c: _measurement_body(m, c),
+            lambda c: c,
+            carry,
+        )
+
+    def _measurement_body(m, carry):
         mx, my, ca, cb, cc, cd, cnt, logw = carry
         dist_z = z_ref[m, 0]
         bearing_z = z_ref[m, 1]
@@ -177,12 +190,26 @@ def _fused_update_kernel(
             dx_q = mx - wx
             dy_q = my - wy
 
-        det = ca * cd - cb * cc
-        usable = lm_valid & (det > 0.0)
-        # Mahalanobis^2 gate WITHOUT a [L, T] divide: d2/det < gate^2 with
-        # det > 0  <=>  d2_raw < gate^2 * det.
-        d2_raw = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
-        hit = usable & (d2_raw < (gate * gate) * det)
+        if assoc_bf16:
+            # gate math in bf16: 2x lane density on the dominant [L, T] ops;
+            # the gate boundary blurs by ~0.5% (production mode only)
+            bf = jnp.bfloat16
+            dxb = dx_q.astype(bf)
+            dyb = dy_q.astype(bf)
+            cab, cbb, ccb, cdb = (ca.astype(bf), cb.astype(bf),
+                                  cc.astype(bf), cd.astype(bf))
+            detb = cab * cdb - cbb * ccb
+            det = detb.astype(mx.dtype)
+            usable = lm_valid & (detb > 0)
+            d2b = dxb * (cdb * dxb - cbb * dyb) + dyb * (-ccb * dxb + cab * dyb)
+            hit = usable & (d2b < bf(gate * gate) * detb)
+        else:
+            det = ca * cd - cb * cc
+            usable = lm_valid & (det > 0.0)
+            # Mahalanobis^2 gate WITHOUT a [L, T] divide: d2/det < gate^2 with
+            # det > 0  <=>  d2_raw < gate^2 * det.
+            d2_raw = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
+            hit = usable & (d2_raw < (gate * gate) * det)
         has_match = jnp.any(hit, axis=0, keepdims=True)          # [1, T]
 
         if parity:
@@ -191,12 +218,29 @@ def _fused_update_kernel(
         else:
             # best hit: slot of min normalized distance (reciprocal-multiply
             # instead of divide; approximate is fine for an argmin)
+            if assoc_bf16:
+                d2f = d2b.astype(mx.dtype)
+            else:
+                d2f = d2_raw
             inv_det = pl.reciprocal(jnp.where(usable, det, 1.0), approx=True)
-            dist2 = jnp.where(usable, d2_raw * inv_det, jnp.inf)
+            dist2 = jnp.where(usable, d2f * inv_det, jnp.inf)
             best = jnp.min(dist2, axis=0, keepdims=True)
             idx = jnp.min(jnp.where(dist2 == best, slot, l), axis=0, keepdims=True)
         onehot = (slot == idx) & has_match                       # [L, T]
         oh = onehot.astype(mx.dtype)
+
+        if _skip_ekf:
+            # timing experiment: association + append only
+            can_append = cnt < l
+            do_append = (~has_match) & can_append & z_ok
+            app = (slot == cnt) & do_append
+            mx = jnp.where(app, wx, mx)
+            my = jnp.where(app, wy, my)
+            ca = jnp.where(app, default_cov, ca)
+            cd = jnp.where(app, default_cov, cd)
+            cnt = cnt + do_append.astype(jnp.int32)
+            logw = logw + jnp.sum(oh, axis=0, keepdims=True) * 1e-9
+            return mx, my, ca, cb, cc, cd, cnt, logw
 
         # gather matched slot by one-hot contraction (sublane reduction)
         mu_x = jnp.sum(mx * oh, axis=0, keepdims=True)           # [1, T]
@@ -317,6 +361,8 @@ def fused_update(
     config: FastSLAMConfig,
     *,
     interpret: bool = False,
+    assoc_bf16: bool = False,
+    _skip_ekf: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused per-tick measurement update; drop-in for the lax.scan path.
 
@@ -347,6 +393,8 @@ def fused_update(
         meas_noise=float(config.measurement_noise),
         default_cov=float(config.default_landmark_cov),
         parity=bool(config.parity_mode),
+        assoc_bf16=assoc_bf16,
+        _skip_ekf=_skip_ekf,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -18,9 +18,14 @@ def main():
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--landmarks", type=int, default=64)
     ap.add_argument("--measurements", type=int, default=16)
+    ap.add_argument("--valid-measurements", type=int, default=None,
+                    help="number of real (non-padded) measurements")
     ap.add_argument("--k", type=int, default=50, help="steps inside the jit")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bf16-assoc", action="store_true")
+    ap.add_argument("--skip-ekf", action="store_true",
+                    help="association-only timing experiment")
     args = ap.parse_args()
 
     import jax
@@ -40,15 +45,29 @@ def main():
         max_measurements=args.measurements, use_pallas=args.pallas,
     )
     st = init_state(cfg, rng=0)
+    n_valid = args.valid_measurements or args.measurements
     ms = pad_measurements(
-        cfg, [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(args.measurements)]
+        cfg, [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(n_valid)]
     )
 
-    def body(s, _):
-        s, pose = kernels.fastslam_step(
-            s, jnp.float32(0.0), jnp.float32(0.4), ms, cfg
-        )
-        return s, pose
+    if args.bf16_assoc or args.skip_ekf:
+        from fastslam_tpu.core.pallas_kernels import fused_update
+
+        def body(s, _):
+            logw, mean, cov, count = fused_update(
+                s.poses, s.log_weights, s.lm_mean, s.lm_cov, s.lm_count,
+                ms.range_bearing, ms.valid, cfg,
+                assoc_bf16=args.bf16_assoc, _skip_ekf=args.skip_ekf,
+            )
+            s = s._replace(log_weights=logw, lm_mean=mean, lm_cov=cov,
+                           lm_count=count)
+            return s, s.poses[0]
+    else:
+        def body(s, _):
+            s, pose = kernels.fastslam_step(
+                s, jnp.float32(0.0), jnp.float32(0.4), ms, cfg
+            )
+            return s, pose
 
     multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=args.k))
 
@@ -63,9 +82,12 @@ def main():
     dt = (time.perf_counter() - t0) / args.k
 
     print(json.dumps({
-        "path": "pallas" if args.pallas else "scan",
+        "path": ("pallas" if args.pallas else "scan")
+                + ("+bf16" if args.bf16_assoc else "")
+                + ("+noekf" if args.skip_ekf else ""),
         "step_ms": round(dt * 1e3, 3),
-        "updates_per_s": round(args.particles * args.measurements / dt),
+        "updates_per_s": round(args.particles * n_valid / dt),
+        "valid_measurements": n_valid,
         "compile_s": round(compile_s, 1),
         "final_pose_x": round(float(np.asarray(poses)[-1, 0]), 3),
     }))

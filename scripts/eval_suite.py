@@ -1,0 +1,128 @@
+"""Accuracy evaluation matrix -> EVAL.md.
+
+Runs the engine over a grid of worlds (seeds), particle counts, and modes
+(reference-oracle / parity / production / production+fastslam2 / +ICP), and
+writes a markdown report with ATE RMSE per cell.  This is the standing
+accuracy evidence for the north-star bound ("match reference ATE").
+
+Usage: python scripts/eval_suite.py --cpu --out EVAL.md
+"""
+
+import argparse
+import json
+import os
+import sys
+from datetime import date
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="EVAL.md")
+    ap.add_argument("--ticks", type=int, default=300)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[3, 7, 21])
+    ap.add_argument("--oracle-particles", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from fastslam_tpu.app.runner import run_driver
+    from fastslam_tpu.config import FastSLAMConfig
+    from fastslam_tpu.drivers.replay import ReplayDriver, record_log
+    from fastslam_tpu.drivers.sim_world import SimWorld
+    from fastslam_tpu.eval.metrics import ate_rmse
+    from oracle_ate import run_oracle
+
+    modes = {
+        "parity (N=100)": dict(num_particles=100),
+        "parity (N=1000)": dict(num_particles=1000),
+        "production (N=100)": dict(num_particles=100, parity_mode=False),
+        "production+fs2 (N=100)": dict(
+            num_particles=100, parity_mode=False, proposal_mode="fastslam2"
+        ),
+        "production+icp (N=100)": dict(
+            num_particles=100, parity_mode=False, use_icp_proposal=True,
+            icp_blend=1.0,
+        ),
+    }
+
+    # the sim world is deterministic; vary runs by start pose + range noise
+    starts = {s: (0.35 * (i - 1), -0.3 * i, 0.4 * i)
+              for i, s in enumerate(args.seeds)}
+
+    rows = {name: [] for name in modes}
+    oracle_row = []
+    for seed in args.seeds:
+        x0, y0, yaw0 = starts[seed]
+        log = record_log(
+            SimWorld(seed=seed, x=x0, y=y0, yaw=yaw0, range_noise_std=0.005),
+            num_ticks=args.ticks,
+        )
+        # full SE(2) alignment of ground truth into the start frame
+        p0 = log.gt_poses[0]
+        c0, s0 = np.cos(-p0[2]), np.sin(-p0[2])
+        d = log.gt_poses - p0
+        gt = np.stack([c0 * d[:, 0] - s0 * d[:, 1],
+                       s0 * d[:, 0] + c0 * d[:, 1],
+                       d[:, 2]], axis=-1)
+
+        cfg_oracle = FastSLAMConfig(
+            num_particles=args.oracle_particles, max_landmarks=64,
+            warmup_iterations=150,
+        )
+        est = run_oracle(log, cfg_oracle, seed=0)
+        oracle_row.append(ate_rmse(gt[:, :2], est[:, :2]))
+
+        for name, overrides in modes.items():
+            cfg = FastSLAMConfig(
+                max_landmarks=64, warmup_iterations=150, **overrides
+            )
+            hist = run_driver(ReplayDriver(log), cfg, rng=0)
+            est = np.asarray(hist.est_poses)
+            rows[name].append(ate_rmse(gt[:, :2], est[:, :2]))
+
+    lines = [
+        "# EVAL — accuracy matrix",
+        "",
+        f"Generated {date.today().isoformat()} by `scripts/eval_suite.py` "
+        f"({args.ticks}-tick synthetic-world logs, warmup 150; ATE RMSE in "
+        "metres over the full trajectory).",
+        "",
+        "| pipeline | " + " | ".join(f"seed {s}" for s in args.seeds) + " | mean |",
+        "|---|" + "---|" * (len(args.seeds) + 1),
+    ]
+
+    def fmt(vals):
+        return " | ".join(f"{v:.3f}" for v in vals) + f" | **{np.mean(vals):.3f}**"
+
+    lines.append(
+        f"| reference equations (NumPy oracle, N={args.oracle_particles}) | "
+        + fmt(oracle_row) + " |"
+    )
+    for name, vals in rows.items():
+        lines.append(f"| {name} | " + fmt(vals) + " |")
+
+    lines += [
+        "",
+        "The north-star accuracy bound is \"match reference ATE\": every engine",
+        "configuration must be at or below the oracle row.",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "oracle_mean": round(float(np.mean(oracle_row)), 4),
+        **{k: round(float(np.mean(v)), 4) for k, v in rows.items()},
+        "out": args.out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,7 +97,14 @@ def main():
 
     cfg = FastSLAMConfig(num_particles=args.particles, max_landmarks=64,
                          warmup_iterations=args.warmup)
-    gt = log.gt_poses - log.gt_poses[0]
+    # full SE(2) alignment of ground truth into the start frame
+    import numpy as _np
+    _p0 = log.gt_poses[0]
+    _c, _s = _np.cos(-_p0[2]), _np.sin(-_p0[2])
+    _d = log.gt_poses - _p0
+    gt = _np.stack([_c * _d[:, 0] - _s * _d[:, 1],
+                    _s * _d[:, 0] + _c * _d[:, 1],
+                    _d[:, 2]], axis=-1)
 
     oracle_est = run_oracle(log, cfg, seed=0)
     oracle_ate = ate_rmse(gt[:, :2], oracle_est[:, :2])
