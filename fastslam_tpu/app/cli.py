@@ -24,7 +24,9 @@ def _add_filter_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--production", action="store_true",
                    help="production math (log-weights, best-match assoc) "
                         "instead of reference-parity quirks")
-    p.add_argument("--pallas", action="store_true", help="fused Pallas update kernel")
+    p.add_argument("--pallas", action=argparse.BooleanOptionalAction, default=None,
+                   help="fused Pallas update kernel (default: on when running "
+                        "on TPU, off on CPU; --no-pallas forces the scan path)")
     p.add_argument("--warmup", type=int, default=150, help="dead-reckoning ticks")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU platform")
@@ -33,11 +35,17 @@ def _add_filter_args(p: argparse.ArgumentParser) -> None:
 def _make_config(args):
     from fastslam_tpu.config import FastSLAMConfig
 
+    use_pallas = args.pallas
+    if use_pallas is None:
+        # default: fused kernel wherever a real accelerator is present
+        import jax
+
+        use_pallas = jax.devices()[0].platform != "cpu"
     return FastSLAMConfig(
         num_particles=args.particles,
         max_landmarks=args.landmarks,
         parity_mode=not args.production,
-        use_pallas=args.pallas,
+        use_pallas=use_pallas,
         warmup_iterations=args.warmup,
     )
 

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from fastslam_tpu.config import FastSLAMConfig
-from fastslam_tpu.core.state import FilterState, Measurements
+from fastslam_tpu.core.state import FilterState, Measurements, PlanesState
 
 import math
 
@@ -714,3 +714,93 @@ def fastslam_step(
         neff < config.resample_threshold_frac * p, do_resample, lambda s: s, state
     )
     return state, estimate_pose(state)
+
+
+# ---------------------------------------------------------------------------
+# planes-native step (Pallas layout carried between steps)
+# ---------------------------------------------------------------------------
+
+def resample_planes_state(state: PlanesState, idx: jax.Array,
+                          config: FastSLAMConfig) -> PlanesState:
+    """Ancestor gather in the planes layout: landmark planes gather along the
+    particle (lane) axis, per-particle arrays along axis 0."""
+    n = state.num_particles
+    if config.parity_mode:
+        new_log_w = jnp.take(state.log_weights, idx, axis=0)
+    else:
+        new_log_w = jnp.full((n,), -jnp.log(n), dtype=state.log_weights.dtype)
+    g = lambda plane: jnp.take(plane, idx, axis=1)
+    return state._replace(
+        poses=jnp.take(state.poses, idx, axis=0),
+        log_weights=new_log_w,
+        lm_mx=g(state.lm_mx), lm_my=g(state.lm_my),
+        lm_ca=g(state.lm_ca), lm_cb=g(state.lm_cb),
+        lm_cc=g(state.lm_cc), lm_cd=g(state.lm_cd),
+        lm_count=jnp.take(state.lm_count, idx, axis=0),
+    )
+
+
+def fastslam_step_planes(
+    state: PlanesState,
+    rotation: jax.Array,
+    translation: jax.Array,
+    measurements: Measurements,
+    config: FastSLAMConfig,
+    *,
+    assoc_bf16: bool = False,
+) -> Tuple[PlanesState, jax.Array]:
+    """One full filter iteration on the planes-layout state.
+
+    Identical math and RNG stream to :func:`fastslam_step` with
+    ``use_pallas=True``, but the landmark state stays in the kernel's native
+    ``[L, P]`` layout between steps — no per-step ``[P, L] <-> [L, P]``
+    transposes (~600 MB HBM/step saved at P=100k, L=64).  Motion-model
+    proposal only (the fastslam2 proposal path works on ``[P, L, k]`` blocks).
+    """
+    if config.proposal_mode == "fastslam2" and not config.parity_mode:
+        raise NotImplementedError(
+            "planes step supports the motion-model proposal; use "
+            "fastslam_step for proposal_mode='fastslam2'"
+        )
+    from fastslam_tpu.core.pallas_kernels import fused_update_planes
+
+    rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
+    p = state.num_particles
+    dt = state.poses.dtype
+
+    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
+    trans_noise = config.translation_noise * jax.random.normal(
+        k_trans, (p,), dtype=dt
+    )
+    poses = propagate_particles(
+        state.poses, rotation, translation, rot_noise, trans_noise
+    )
+    state = state._replace(poses=poses, rng=rng)
+
+    logw, mx, my, ca, cb, cc, cd, cnt = fused_update_planes(
+        state.poses, state.log_weights,
+        state.lm_mx, state.lm_my, state.lm_ca, state.lm_cb,
+        state.lm_cc, state.lm_cd, state.lm_count,
+        measurements.range_bearing, measurements.valid, config,
+        interpret=config.pallas_interpret, assoc_bf16=assoc_bf16,
+    )
+    state = state._replace(
+        log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb,
+        lm_cc=cc, lm_cd=cd, lm_count=cnt,
+    )
+
+    log_w = normalize_log_weights(state.log_weights, config)
+    state = state._replace(log_weights=log_w)
+
+    neff = effective_particles(log_w, config)
+    u0 = jax.random.uniform(k_u, (), dtype=dt, maxval=1.0 / p)
+
+    def do_resample(s):
+        idx = systematic_resample_indices(jnp.exp(s.log_weights), u0)
+        return resample_planes_state(s, idx, config)
+
+    state = jax.lax.cond(
+        neff < config.resample_threshold_frac * p, do_resample, lambda s: s, state
+    )
+    best = jnp.argmax(state.log_weights)
+    return state, state.poses[best]

@@ -41,6 +41,17 @@ from fastslam_tpu.config import FastSLAMConfig
 _LOG_TWO_PI = math.log(2.0 * math.pi)
 _PI = math.pi
 
+# packed-argmin sentinel: +inf bits with all slot bits set — larger than any
+# valid (finite, non-negative) distance key
+_INVALID_KEY = 0x7F8000FF
+
+
+def _f32_bits(x: float) -> int:
+    """Bit pattern of a non-negative f32 as a Python int (compile-time)."""
+    import struct
+
+    return struct.unpack("<i", struct.pack("<f", float(x)))[0]
+
 
 def _atan_poly(x):
     """Cephes-style single-precision atan for x >= 0 (max err ~1e-7 rad).
@@ -198,34 +209,40 @@ def _fused_update_kernel(
             dyb = dy_q.astype(bf)
             cab, cbb, ccb, cdb = (ca.astype(bf), cb.astype(bf),
                                   cc.astype(bf), cd.astype(bf))
-            detb = cab * cdb - cbb * ccb
-            det = detb.astype(mx.dtype)
-            usable = lm_valid & (detb > 0)
-            d2b = dxb * (cdb * dxb - cbb * dyb) + dyb * (-ccb * dxb + cab * dyb)
-            hit = usable & (d2b < bf(gate * gate) * detb)
+            det = (cab * cdb - cbb * ccb).astype(mx.dtype)
+            usable = lm_valid & (det > 0.0)  # Mosaic lowers no bf16 cmpf
+            d2f = (dxb * (cdb * dxb - cbb * dyb)
+                   + dyb * (-ccb * dxb + cab * dyb)).astype(mx.dtype)
         else:
             det = ca * cd - cb * cc
             usable = lm_valid & (det > 0.0)
-            # Mahalanobis^2 gate WITHOUT a [L, T] divide: d2/det < gate^2 with
-            # det > 0  <=>  d2_raw < gate^2 * det.
-            d2_raw = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
-            hit = usable & (d2_raw < (gate * gate) * det)
-        has_match = jnp.any(hit, axis=0, keepdims=True)          # [1, T]
+            d2f = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
 
         if parity:
+            # Mahalanobis^2 gate WITHOUT a [L, T] divide: d2/det < gate^2 with
+            # det > 0  <=>  d2_raw < gate^2 * det.
+            hit = usable & (d2f < (gate * gate) * det)
+            has_match = jnp.any(hit, axis=0, keepdims=True)      # [1, T]
             # first hit: min slot index among hits
             idx = jnp.min(jnp.where(hit, slot, l), axis=0, keepdims=True)
         else:
-            # best hit: slot of min normalized distance (reciprocal-multiply
-            # instead of divide; approximate is fine for an argmin)
-            if assoc_bf16:
-                d2f = d2b.astype(mx.dtype)
-            else:
-                d2f = d2_raw
+            # best hit via ONE packed min-reduction: the normalized distance's
+            # f32 bit pattern is order-preserving for non-negative values, so
+            # drop its 8 mantissa LSBs, OR the slot index into them, and a
+            # single int32 min yields both the winner's distance *and* its
+            # slot (ties break toward the lower slot).  has_match falls out of
+            # comparing the packed min against gate^2's bit pattern — no `any`
+            # reduction, no hit mask, no second argmin pass.  The 8 dropped
+            # mantissa bits blur the gate boundary by ~2^-15 relative
+            # (production mode only; parity keeps exact semantics above).
             inv_det = pl.reciprocal(jnp.where(usable, det, 1.0), approx=True)
-            dist2 = jnp.where(usable, d2f * inv_det, jnp.inf)
-            best = jnp.min(dist2, axis=0, keepdims=True)
-            idx = jnp.min(jnp.where(dist2 == best, slot, l), axis=0, keepdims=True)
+            dist2 = jnp.maximum(d2f * inv_det, 0.0)
+            key = jax.lax.bitcast_convert_type(dist2, jnp.int32)
+            key = jnp.where(usable, (key & ~0xFF) | slot, _INVALID_KEY)
+            kmin = jnp.min(key, axis=0, keepdims=True)           # [1, T]
+            gate_bits = _f32_bits(gate * gate)
+            has_match = kmin <= (((gate_bits - 1) & ~0xFF) | 0xFF)
+            idx = kmin & 0xFF
         onehot = (slot == idx) & has_match                       # [L, T]
         oh = onehot.astype(mx.dtype)
 
@@ -366,21 +383,73 @@ def fused_update(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused per-tick measurement update; drop-in for the lax.scan path.
 
-    Transposes to the particles-on-lanes layout at the boundary (XLA handles
-    the [P, L] <-> [L, P] transposes; they are HBM-bandwidth cheap relative
-    to the kernel's former column-op cost).
+    Compatibility wrapper over :func:`fused_update_planes`: transposes the
+    ``[P, L]`` blocks to the particles-on-lanes layout at the boundary and
+    back.  The twelve transposes cost ~600 MB of HBM traffic per step at
+    P=100k/L=64 — steady-state callers should carry a
+    :class:`~fastslam_tpu.core.state.PlanesState` and call the planes entry
+    point directly (see kernels.fastslam_step_planes).
 
     Returns ``(log_weights, lm_mean, lm_cov, lm_count)``.
     """
     p, l = lm_mean.shape[0], lm_mean.shape[1]
-    m = z.shape[0]
     tile = _lane_tile(p)
     pp = _round_up(p, tile)  # padded particle count (Mosaic lane-tile rule)
-    grid = (pp // tile,)
-    dt = lm_mean.dtype
 
     pad = lambda x: jnp.pad(x, [(0, pp - p)] + [(0, 0)] * (x.ndim - 1))
-    row = lambda x: pad(x).reshape(1, pp)
+    logw, mx, my, ca, cb, cc, cd, cnt = fused_update_planes(
+        pad(poses), pad(log_weights),
+        pad(lm_mean[:, :, 0]).T, pad(lm_mean[:, :, 1]).T,
+        pad(lm_cov[:, :, 0]).T, pad(lm_cov[:, :, 1]).T,
+        pad(lm_cov[:, :, 2]).T, pad(lm_cov[:, :, 3]).T,
+        pad(lm_count), z, z_valid, config,
+        interpret=interpret, assoc_bf16=assoc_bf16, _skip_ekf=_skip_ekf,
+    )
+    new_mean = jnp.stack([mx.T[:p], my.T[:p]], axis=-1)
+    new_cov = jnp.stack([ca.T[:p], cb.T[:p], cc.T[:p], cd.T[:p]], axis=-1)
+    return logw[:p], new_mean, new_cov, cnt[:p]
+
+
+def fused_update_planes(
+    poses: jax.Array,        # [P, 3]
+    log_weights: jax.Array,  # [P]
+    lm_mx: jax.Array,        # [L, P]
+    lm_my: jax.Array,        # [L, P]
+    lm_ca: jax.Array,        # [L, P]
+    lm_cb: jax.Array,        # [L, P]
+    lm_cc: jax.Array,        # [L, P]
+    lm_cd: jax.Array,        # [L, P]
+    lm_count: jax.Array,     # [P] int32
+    z: jax.Array,            # [M, 2]
+    z_valid: jax.Array,      # [M] bool
+    config: FastSLAMConfig,
+    *,
+    interpret: bool = False,
+    assoc_bf16: bool = False,
+    _skip_ekf: bool = False,
+):
+    """Planes-native fused measurement update — zero layout conversions.
+
+    Landmark state arrives as six ``[L, P]`` component planes (particles on
+    the lane axis) exactly as the kernel consumes them; per-particle scalars
+    are reshaped to ``[1, P]`` rows (free).  ``P`` must be a multiple of 128
+    (see :func:`~fastslam_tpu.core.state.planes_particle_count`).
+
+    Returns ``(log_weights [P], mx, my, ca, cb, cc, cd [L, P], lm_count [P])``.
+    """
+    l, p = lm_mx.shape
+    m = z.shape[0]
+    if p % 128:
+        raise ValueError(f"planes particle count {p} not a multiple of 128")
+    if not config.parity_mode and l > 256:
+        raise ValueError("packed argmin supports at most 256 landmark slots")
+    tile = _lane_tile(p)
+    while p % tile:
+        tile -= 128
+    grid = (p // tile,)
+    dt = lm_mx.dtype
+
+    row = lambda x: x.reshape(1, p)
     # index maps get (grid_idx, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec, hence the *_ catch-all
     plane = pl.BlockSpec((l, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
@@ -405,9 +474,9 @@ def fused_update(
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((1, pp), dt),           # logw
-        *([jax.ShapeDtypeStruct((l, pp), dt)] * 6),  # mx my ca cb cc cd
-        jax.ShapeDtypeStruct((1, pp), jnp.int32),    # cnt
+        jax.ShapeDtypeStruct((1, p), dt),           # logw
+        *([jax.ShapeDtypeStruct((l, p), dt)] * 6),  # mx my ca cb cc cd
+        jax.ShapeDtypeStruct((1, p), jnp.int32),    # cnt
     )
 
     # trig precomputed outside the kernel (Mosaic lowers no sin/cos/atan2):
@@ -430,15 +499,11 @@ def fused_update(
         row(poses[:, 0]), row(poses[:, 1]), row(poses[:, 2]),
         row(jnp.cos(poses[:, 2])), row(jnp.sin(poses[:, 2])),
         row(log_weights),
-        pad(lm_mean[:, :, 0]).T, pad(lm_mean[:, :, 1]).T,
-        pad(lm_cov[:, :, 0]).T, pad(lm_cov[:, :, 1]).T,
-        pad(lm_cov[:, :, 2]).T, pad(lm_cov[:, :, 3]).T,
+        lm_mx, lm_my, lm_ca, lm_cb, lm_cc, lm_cd,
         row(lm_count),
     )
     logw, mx, my, ca, cb, cc, cd, cnt = outs
-    new_mean = jnp.stack([mx.T[:p], my.T[:p]], axis=-1)
-    new_cov = jnp.stack([ca.T[:p], cb.T[:p], cc.T[:p], cd.T[:p]], axis=-1)
-    return logw.reshape(pp)[:p], new_mean, new_cov, cnt.reshape(pp)[:p]
+    return (logw.reshape(p), mx, my, ca, cb, cc, cd, cnt.reshape(p))
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,118 @@ def init_state(config: FastSLAMConfig, rng: jax.Array | int = 0) -> FilterState:
     )
 
 
+class PlanesState(NamedTuple):
+    """Filter state in the Pallas-native *planes* layout.
+
+    The fused measurement-update kernel wants each landmark component as a
+    ``[L, P]`` plane — particles on the lane (minor) axis, landmark slots on
+    the sublane axis — so the VPU math is dense and per-particle scalars ride
+    as ``[1, P]`` rows.  :class:`FilterState` stores ``[P, L, k]`` blocks,
+    which forces twelve ``[P, L] <-> [L, P]`` transposes around the kernel
+    every step (~600 MB of extra HBM traffic at P=100k, L=64).  Keeping the
+    state natively in planes between steps eliminates those transposes; the
+    remaining per-``[P]`` ops (weights, Neff, resampling gather, pose
+    estimate) are layout-indifferent.
+
+    The particle count is padded up to a multiple of the kernel lane tile at
+    construction (:func:`planes_particle_count`); the padded entries are
+    *real* particles (same init), so no masking is needed anywhere.
+    """
+
+    poses: jax.Array        # [P, 3] float
+    log_weights: jax.Array  # [P] float
+    lm_mx: jax.Array        # [L, P] landmark mean x
+    lm_my: jax.Array        # [L, P] landmark mean y
+    lm_ca: jax.Array        # [L, P] cov a (row-major 2x2: a b / c d)
+    lm_cb: jax.Array        # [L, P]
+    lm_cc: jax.Array        # [L, P]
+    lm_cd: jax.Array        # [L, P]
+    lm_count: jax.Array     # [P] int32
+    rng: jax.Array          # PRNG key
+
+    @property
+    def num_particles(self) -> int:
+        return self.poses.shape[0]
+
+    @property
+    def max_landmarks(self) -> int:
+        return self.lm_mx.shape[0]
+
+
+def planes_particle_count(num_particles: int) -> int:
+    """Particle count actually used by the planes engine: rounded up to the
+    Pallas lane-tile multiple so the kernel grid divides evenly with no
+    per-step padding."""
+    from fastslam_tpu.core.pallas_kernels import _lane_tile, _round_up
+
+    return _round_up(num_particles, _lane_tile(num_particles))
+
+
+def to_planes(state: FilterState) -> PlanesState:
+    """[P, L, k] blocks -> [L, P] planes (pads P up to the lane tile)."""
+    p = state.num_particles
+    pp = planes_particle_count(p)
+    padn = pp - p
+
+    def pad_p(x):
+        return jnp.pad(x, [(0, padn)] + [(0, 0)] * (x.ndim - 1)) if padn else x
+
+    # padded entries are live particles: weight ~0 so they never dominate
+    logw = state.log_weights
+    if padn:
+        logw = jnp.concatenate(
+            [logw, jnp.full((padn,), -80.0, dtype=logw.dtype)]
+        )
+    return PlanesState(
+        poses=pad_p(state.poses),
+        log_weights=logw,
+        lm_mx=pad_p(state.lm_mean[:, :, 0]).T,
+        lm_my=pad_p(state.lm_mean[:, :, 1]).T,
+        lm_ca=pad_p(state.lm_cov[:, :, 0]).T,
+        lm_cb=pad_p(state.lm_cov[:, :, 1]).T,
+        lm_cc=pad_p(state.lm_cov[:, :, 2]).T,
+        lm_cd=pad_p(state.lm_cov[:, :, 3]).T,
+        lm_count=pad_p(state.lm_count),
+        rng=state.rng,
+    )
+
+
+def from_planes(state: PlanesState, num_particles: int | None = None) -> FilterState:
+    """[L, P] planes -> [P, L, k] blocks (slices back to ``num_particles``)."""
+    p = num_particles or state.num_particles
+    return FilterState(
+        poses=state.poses[:p],
+        log_weights=state.log_weights[:p],
+        lm_mean=jnp.stack([state.lm_mx.T[:p], state.lm_my.T[:p]], axis=-1),
+        lm_cov=jnp.stack(
+            [state.lm_ca.T[:p], state.lm_cb.T[:p],
+             state.lm_cc.T[:p], state.lm_cd.T[:p]], axis=-1,
+        ),
+        lm_count=state.lm_count[:p],
+        rng=state.rng,
+    )
+
+
+def init_planes_state(config: FastSLAMConfig, rng: jax.Array | int = 0) -> PlanesState:
+    """Fresh planes-layout state (particle count rounded up to the lane tile)."""
+    if isinstance(rng, int):
+        rng = jax.random.key(rng)
+    p = planes_particle_count(config.num_particles)
+    l = config.max_landmarks
+    dt = jnp.dtype(config.dtype)
+    # six distinct buffers (a shared zeros array would alias, breaking
+    # donation: the same buffer cannot be donated six times)
+    plane = lambda: jnp.zeros((l, p), dtype=dt)
+    return PlanesState(
+        poses=jnp.zeros((p, 3), dtype=dt),
+        log_weights=jnp.full((p,), -jnp.log(p).astype(dt), dtype=dt),
+        lm_mx=plane(), lm_my=plane(), lm_ca=plane(),
+        lm_cb=plane(), lm_cc=plane(), lm_cd=plane(),
+        lm_count=jnp.zeros((p,), dtype=jnp.int32),
+        rng=rng,
+    )
+
+
 class Measurements(NamedTuple):
     """A padded batch of range/bearing measurements for one tick.
 

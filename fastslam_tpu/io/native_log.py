@@ -158,6 +158,8 @@ def read_log(path: str, *, start: int = 0, count: Optional[int] = None,
     """Read a LaserLog (optionally a tick slice) from FSLG1."""
     from fastslam_tpu.drivers.replay import LaserLog
 
+    if start < 0 or (count is not None and count < 0):
+        raise ValueError("start/count must be non-negative")
     lib = None if force_numpy else _load_library()
     if lib is not None:
         u32 = ctypes.c_uint32
@@ -171,6 +173,15 @@ def read_log(path: str, *, start: int = 0, count: Optional[int] = None,
             raise OSError(f"fslog_read_header failed: {rc}")
         t_total, b = nt.value, nb.value
         n = t_total - start if count is None else count
+        if n < 0 or start + n > t_total:
+            raise OSError(
+                f"slice [{start}, {start}+{n}) out of range for {t_total} ticks"
+            )
+        # a corrupt header may claim far more ticks than the file holds —
+        # validate against the on-disk size BEFORE allocating output buffers
+        rec_bytes = 8 + 4 + 4 + 4 + 24 + 4 * b
+        if _HEADER_BYTES + t_total * rec_bytes > os.path.getsize(path):
+            raise OSError("truncated FSLG1 file (header claims more ticks)")
 
         timestamps = np.empty(n, np.float64)
         cmd_v = np.empty(n, np.float32)
@@ -194,19 +205,31 @@ def read_log(path: str, *, start: int = 0, count: Optional[int] = None,
             bumper_state=bst, bumper_id=bid, gt_poses=gt,
         )
 
-    # NumPy fallback
+    # NumPy fallback — same validation the C++ reader performs
     with open(path, "rb") as f:
         header = f.read(_HEADER_BYTES)
-        if header[:5] != _MAGIC:
+        if len(header) < _HEADER_BYTES or header[:5] != _MAGIC:
             raise OSError("not an FSLG1 file")
         t_total = int(np.frombuffer(header[8:12], "<u4")[0])
         b = int(np.frombuffer(header[12:16], "<u4")[0])
         mn = float(np.frombuffer(header[16:20], "<f4")[0])
         mx = float(np.frombuffer(header[20:24], "<f4")[0])
+        rec_bytes = int(np.frombuffer(header[24:28], "<u4")[0])
+        if b == 0 or b > 1_000_000 or rec_bytes != 8 + 4 + 4 + 4 + 24 + 4 * b:
+            raise OSError("corrupt FSLG1 header: record size mismatch")
         dt = _record_dtype(b)
         n = t_total - start if count is None else count
+        if n < 0 or start + n > t_total:
+            raise OSError(
+                f"slice [{start}, {start}+{n}) out of range for {t_total} ticks"
+            )
+        if _HEADER_BYTES + t_total * dt.itemsize > os.path.getsize(path):
+            raise OSError("truncated FSLG1 file (header claims more ticks)")
         f.seek(_HEADER_BYTES + start * dt.itemsize)
-        rec = np.frombuffer(f.read(n * dt.itemsize), dtype=dt)
+        data = f.read(n * dt.itemsize)
+        if len(data) != n * dt.itemsize:
+            raise OSError("truncated FSLG1 file")
+        rec = np.frombuffer(data, dtype=dt)
 
     return LaserLog(
         scans=np.ascontiguousarray(rec["scan"]),

@@ -134,7 +134,11 @@ int fslog_read(const char* path, uint32_t start, uint32_t count,
   if (!f) return -1;
   Header h;
   if (!read_header(f, &h)) { fclose(f); return -2; }
-  if (start + count > h.num_ticks) { fclose(f); return -3; }
+  // 64-bit sum: start + count must not wrap u32 (fuzz: start=count=2^31)
+  if (static_cast<uint64_t>(start) + count > h.num_ticks) {
+    fclose(f);
+    return -3;
+  }
 
   if (fseek(f, static_cast<long>(kHeaderBytes +
             static_cast<size_t>(start) * h.record_bytes), SEEK_SET) != 0) {

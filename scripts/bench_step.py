@@ -22,10 +22,17 @@ def main():
                     help="number of real (non-padded) measurements")
     ap.add_argument("--k", type=int, default=50, help="steps inside the jit")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--planes", action="store_true",
+                    help="planes-native state (no per-step transposes)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--bf16-assoc", action="store_true")
     ap.add_argument("--skip-ekf", action="store_true",
                     help="association-only timing experiment")
+    ap.add_argument("--no-donate", action="store_true",
+                    help="disable input buffer donation on the scan jit")
+    ap.add_argument("--production", action="store_true",
+                    help="production math (packed-argmin association) "
+                         "instead of reference-parity quirks")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +50,9 @@ def main():
     cfg = FastSLAMConfig(
         num_particles=args.particles, max_landmarks=args.landmarks,
         max_measurements=args.measurements, use_pallas=args.pallas,
+        # Pallas kernels only run interpreted on CPU
+        pallas_interpret=args.cpu and (args.pallas or args.planes),
+        parity_mode=not args.production,
     )
     st = init_state(cfg, rng=0)
     n_valid = args.valid_measurements or args.measurements
@@ -50,7 +60,19 @@ def main():
         cfg, [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(n_valid)]
     )
 
-    if args.bf16_assoc or args.skip_ekf:
+    if args.planes:
+        from fastslam_tpu.core.kernels import fastslam_step_planes
+        from fastslam_tpu.core.state import init_planes_state
+
+        st = init_planes_state(cfg, rng=0)
+
+        def body(s, _):
+            s, pose = fastslam_step_planes(
+                s, jnp.float32(0.0), jnp.float32(0.4), ms, cfg,
+                assoc_bf16=args.bf16_assoc,
+            )
+            return s, pose
+    elif args.bf16_assoc or args.skip_ekf:
         from fastslam_tpu.core.pallas_kernels import fused_update
 
         def body(s, _):
@@ -69,24 +91,31 @@ def main():
             )
             return s, pose
 
-    multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=args.k))
+    donate = () if args.no_donate else (0,)
+    multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=args.k),
+                    donate_argnums=donate)
 
     t0 = time.time()
-    st2, poses = multi(st)
+    st2, poses = multi(st)   # donates st
     jax.block_until_ready(st2)
     compile_s = time.time() - t0
 
     t0 = time.perf_counter()
-    st2, poses = multi(st)
-    jax.block_until_ready(st2)
+    st3, poses = multi(st2)  # donates st2
+    jax.block_until_ready(st3)
     dt = (time.perf_counter() - t0) / args.k
 
     print(json.dumps({
-        "path": ("pallas" if args.pallas else "scan")
+        "path": ("planes" if args.planes else
+                 "pallas" if args.pallas else "scan")
                 + ("+bf16" if args.bf16_assoc else "")
-                + ("+noekf" if args.skip_ekf else ""),
+                + ("+noekf" if args.skip_ekf else "")
+                + ("+prod" if args.production else ""),
         "step_ms": round(dt * 1e3, 3),
-        "updates_per_s": round(args.particles * n_valid / dt),
+        "particles": st.num_particles if args.planes else args.particles,
+        "updates_per_s": round(
+            (st.num_particles if args.planes else args.particles) * n_valid / dt
+        ),
         "valid_measurements": n_valid,
         "compile_s": round(compile_s, 1),
         "final_pose_x": round(float(np.asarray(poses)[-1, 0]), 3),

@@ -52,6 +52,62 @@ def test_cross_codec_byte_compatibility(tmp_path, log):
     assert_logs_equal(read_log(p_np), log)
 
 
+@pytest.mark.parametrize("force_numpy", [True, False])
+def test_fuzz_mutated_bytes_never_crash(tmp_path, log, force_numpy):
+    """Random single/multi-byte corruptions of a valid file must either parse
+    (mutation hit payload bytes) or raise a clean OSError — never crash or
+    hang either codec."""
+    if not force_numpy and not native_available():
+        pytest.skip("no native codec")
+    p = str(tmp_path / "fuzz.fslog")
+    write_log(p, log, force_numpy=True)
+    blob = bytearray(open(p, "rb").read())
+    rng = np.random.default_rng(99)
+
+    for trial in range(60):
+        mutated = bytearray(blob)
+        # mutate 1-4 bytes, biased toward the header
+        for _ in range(int(rng.integers(1, 5))):
+            pos = int(rng.integers(0, 64 if trial % 2 else len(blob)))
+            mutated[pos] = int(rng.integers(0, 256))
+        q = str(tmp_path / "mut.fslog")
+        open(q, "wb").write(bytes(mutated))
+        try:
+            got = read_log(q, force_numpy=force_numpy)
+            assert len(got) >= 0  # parsed fine — payload-only mutation
+        except (OSError, ValueError):
+            pass  # clean rejection
+
+
+@pytest.mark.parametrize("force_numpy", [True, False])
+def test_fuzz_truncations_never_crash(tmp_path, log, force_numpy):
+    if not force_numpy and not native_available():
+        pytest.skip("no native codec")
+    p = str(tmp_path / "trunc_src.fslog")
+    write_log(p, log, force_numpy=True)
+    blob = open(p, "rb").read()
+    for cut in [0, 1, 4, 5, 8, 24, 63, 64, 65, 100, len(blob) // 2, len(blob) - 1]:
+        q = str(tmp_path / "trunc.fslog")
+        open(q, "wb").write(blob[:cut])
+        with pytest.raises((OSError, ValueError)):
+            read_log(q, force_numpy=force_numpy)
+
+
+@pytest.mark.parametrize("force_numpy", [True, False])
+def test_out_of_range_slices_rejected(tmp_path, log, force_numpy):
+    if not force_numpy and not native_available():
+        pytest.skip("no native codec")
+    p = str(tmp_path / "rng.fslog")
+    write_log(p, log, force_numpy=True)
+    t = len(log)
+    for start, count in [(t + 1, None), (0, t + 1), (t, 1),
+                         (2**31, 2**31), (5, t)]:
+        with pytest.raises((OSError, ValueError)):
+            read_log(p, start=start, count=count, force_numpy=force_numpy)
+    with pytest.raises(ValueError):
+        read_log(p, start=-1, force_numpy=force_numpy)
+
+
 def test_random_access_slice(tmp_path, log):
     p = str(tmp_path / "slice.fslog")
     write_log(p, log, force_numpy=True)

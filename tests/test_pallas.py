@@ -84,6 +84,56 @@ def test_fused_update_via_config_flag():
     )
 
 
+@pytest.mark.parametrize("parity", [True, False])
+def test_planes_step_matches_block_step(parity):
+    """fastslam_step_planes == fastslam_step(use_pallas) — same RNG stream,
+    same kernel arithmetic, only the carried layout differs."""
+    from fastslam_tpu.core.state import from_planes, to_planes
+
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=8, max_measurements=4,
+        parity_mode=parity, use_pallas=True, pallas_interpret=True,
+    )
+    st = build_state(cfg, seed=4)
+    ms = pad_measurements(cfg, [(2.0, 0.3), (3.5, -0.7), (1.0, 2.5)])
+
+    want_st, want_pose = kernels.fastslam_step(
+        st, jnp.float32(0.0), jnp.float32(0.4), ms, cfg
+    )
+    got_ps, got_pose = kernels.fastslam_step_planes(
+        to_planes(st), jnp.float32(0.0), jnp.float32(0.4), ms, cfg
+    )
+    got_st = from_planes(got_ps)
+
+    np.testing.assert_allclose(np.asarray(got_pose), np.asarray(want_pose),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_st.lm_count),
+                                  np.asarray(want_st.lm_count))
+    np.testing.assert_allclose(np.asarray(got_st.lm_mean),
+                               np.asarray(want_st.lm_mean), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_st.log_weights),
+                               np.asarray(want_st.log_weights),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_st.poses),
+                               np.asarray(want_st.poses), rtol=1e-6, atol=1e-6)
+
+
+def test_planes_round_trip_pads_to_lane_tile():
+    from fastslam_tpu.core.state import from_planes, to_planes
+
+    cfg = FastSLAMConfig(num_particles=100, max_landmarks=8, max_measurements=4)
+    st = build_state(cfg, seed=5)
+    ps = to_planes(st)
+    assert ps.num_particles == 128  # rounded up to the lane tile
+    # padded particles carry ~zero weight
+    assert float(np.exp(np.asarray(ps.log_weights[100:])).sum()) < 1e-20
+    back = from_planes(ps, num_particles=100)
+    np.testing.assert_array_equal(np.asarray(back.poses), np.asarray(st.poses))
+    np.testing.assert_array_equal(np.asarray(back.lm_mean), np.asarray(st.lm_mean))
+    np.testing.assert_array_equal(np.asarray(back.lm_cov), np.asarray(st.lm_cov))
+    np.testing.assert_array_equal(np.asarray(back.lm_count), np.asarray(st.lm_count))
+
+
 def test_icp_correspondences_match_dense_nn():
     rng = np.random.default_rng(3)
     src = rng.normal(0, 2, (64, 2)).astype(np.float32)
