@@ -21,6 +21,92 @@ import numpy as np
 from fastslam_tpu.backend.pose_graph import PoseGraph
 
 
+def _greedy_associate(
+    kf: np.ndarray,
+    obs_kf: np.ndarray,
+    obs_rb: np.ndarray,
+    association_gate: float,
+    max_landmarks: int,
+):
+    """World-project each observation from its keyframe pose and greedily
+    cluster: nearest existing landmark within the gate, else a new landmark.
+    Returns (landmarks list, obs_lm [F] int, keep [F] bool)."""
+    landmarks: List[np.ndarray] = []
+    obs_lm = np.zeros(len(obs_kf), np.int32)
+    keep = np.zeros(len(obs_kf), bool)
+    for i, (k_idx, (dist, bearing)) in enumerate(zip(obs_kf, obs_rb)):
+        wx = kf[k_idx, 0] + dist * np.cos(kf[k_idx, 2] + bearing)
+        wy = kf[k_idx, 1] + dist * np.sin(kf[k_idx, 2] + bearing)
+        w = np.array([wx, wy])
+        j_best, d_best = -1, association_gate
+        for j, lm in enumerate(landmarks):
+            d = float(np.linalg.norm(lm - w))
+            if d < d_best:
+                j_best, d_best = j, d
+        if j_best < 0:
+            if len(landmarks) >= max_landmarks:
+                continue
+            j_best = len(landmarks)
+            landmarks.append(w.copy())
+        else:
+            # running average refines the initial estimate
+            landmarks[j_best] = 0.5 * (landmarks[j_best] + w)
+        obs_lm[i] = j_best
+        keep[i] = True
+    return landmarks, obs_lm, keep
+
+
+def reassociate_pose_graph(
+    graph: PoseGraph,
+    optimized_poses: np.ndarray,
+    *,
+    association_gate: float = 0.8,
+) -> PoseGraph:
+    """Joint re-association: redo landmark data association from OPTIMIZED
+    keyframe poses.
+
+    The initial greedy association runs at the drifted input poses, so under
+    heavy drift one physical corner splits into several graph landmarks and
+    the optimizer cannot close the loop across them.  After a Gauss-Newton
+    round the poses are better; re-projecting every observation factor from
+    the optimized poses and re-clustering merges those duplicates, giving the
+    next optimization round the loop-closure constraints the first one was
+    missing.  Odometry factors, the prior, and the factor (keyframe, range,
+    bearing) payloads are unchanged — only landmark identities move.
+    """
+    import jax.numpy as jnp
+
+    kf = np.asarray(optimized_poses, np.float64)
+    valid = np.asarray(graph.obs_valid)
+    obs_kf = np.asarray(graph.obs_kf)
+    obs_rb = np.asarray(graph.obs_rb, np.float64)
+    max_landmarks = graph.landmarks.shape[0]
+
+    idx = np.flatnonzero(valid)
+    landmarks, lm_ids, keep = _greedy_associate(
+        kf, obs_kf[idx], obs_rb[idx], association_gate, max_landmarks
+    )
+
+    obs_lm_arr = np.asarray(graph.obs_lm).copy()
+    obs_valid_arr = valid.copy()
+    obs_lm_arr[idx] = lm_ids
+    obs_valid_arr[idx] = keep
+
+    lm_arr = np.zeros((max_landmarks, 2), np.float32)
+    for j, lm in enumerate(landmarks):
+        lm_arr[j] = lm
+    lm_valid = np.zeros(max_landmarks, bool)
+    lm_valid[: len(landmarks)] = True
+
+    return graph._replace(
+        poses=jnp.asarray(kf.astype(np.float32)),
+        landmarks=jnp.asarray(lm_arr),
+        lm_valid=jnp.asarray(lm_valid),
+        obs_lm=jnp.asarray(obs_lm_arr),
+        obs_valid=jnp.asarray(obs_valid_arr),
+    )
+
+
 def build_pose_graph(
     keyframe_poses: np.ndarray,
     measurements: Sequence[np.ndarray],
@@ -62,30 +148,20 @@ def build_pose_graph(
     )
 
     # landmark association by world-frame proximity
-    landmarks: List[np.ndarray] = []
-    obs_kf, obs_lm, obs_rb = [], [], []
+    all_kf, all_rb = [], []
     for i in range(k):
         ms = np.asarray(measurements[i], np.float64).reshape(-1, 2)
         for dist, bearing in ms:
-            wx = kf[i, 0] + dist * np.cos(kf[i, 2] + bearing)
-            wy = kf[i, 1] + dist * np.sin(kf[i, 2] + bearing)
-            w = np.array([wx, wy])
-            j_best, d_best = -1, association_gate
-            for j, lm in enumerate(landmarks):
-                d = float(np.linalg.norm(lm - w))
-                if d < d_best:
-                    j_best, d_best = j, d
-            if j_best < 0:
-                if len(landmarks) >= max_landmarks:
-                    continue
-                j_best = len(landmarks)
-                landmarks.append(w.copy())
-            else:
-                # running average refines the initial estimate
-                landmarks[j_best] = 0.5 * (landmarks[j_best] + w)
-            obs_kf.append(i)
-            obs_lm.append(j_best)
-            obs_rb.append([dist, bearing])
+            all_kf.append(i)
+            all_rb.append([dist, bearing])
+    all_kf = np.asarray(all_kf, np.int32).reshape(-1)
+    all_rb = np.asarray(all_rb, np.float64).reshape(-1, 2)
+    landmarks, lm_ids, kept = _greedy_associate(
+        kf, all_kf, all_rb, association_gate, max_landmarks
+    )
+    obs_kf = all_kf[kept].tolist()
+    obs_lm = lm_ids[kept].tolist()
+    obs_rb = all_rb[kept].tolist()
 
     f = min(len(obs_kf), max_factors)
     l = max_landmarks

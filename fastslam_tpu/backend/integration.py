@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fastslam_tpu.backend.builder import build_pose_graph
+from fastslam_tpu.backend.builder import build_pose_graph, reassociate_pose_graph
 from fastslam_tpu.backend.pose_graph import optimize
 from fastslam_tpu.config import FastSLAMConfig
 from fastslam_tpu.drivers.base import LaserScan
@@ -52,6 +52,7 @@ def smooth_trajectory(
     max_landmarks: int = 64,
     max_factors: int = 1024,
     association_gate: float = 0.8,
+    reassociate_rounds: int = 3,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Pose-graph smoothing over keyframes of a finished run.
 
@@ -72,10 +73,30 @@ def smooth_trajectory(
         max_landmarks=max_landmarks, max_factors=max_factors,
     )
     poses, landmarks, err, hist = optimize(graph, num_iters=num_iters)
+
+    # joint re-association: redo data association from the optimized poses
+    # and re-optimize; accept a round only if the per-factor error improves
+    # (factor counts can differ between graphs — landmark merges free
+    # capacity).  Under heavy drift the initial association splits physical
+    # corners into duplicates; this loop recovers the loop closures.
+    rounds_used = 0
+    per_factor = lambda e, g: float(e) / max(int(np.asarray(g.obs_valid).sum()), 1)
+    for _ in range(reassociate_rounds):
+        g2 = reassociate_pose_graph(
+            graph, np.asarray(poses), association_gate=association_gate
+        )
+        p2, l2, e2, h2 = optimize(g2, num_iters=num_iters)
+        if per_factor(e2, g2) < per_factor(err, graph):
+            graph, poses, landmarks, err, hist = g2, p2, l2, e2, h2
+            rounds_used += 1
+        else:
+            break
+
     info = {
         "final_error": float(err),
         "num_keyframes": len(ticks),
         "num_landmarks": int(np.asarray(graph.lm_valid).sum()),
         "num_factors": int(np.asarray(graph.obs_valid).sum()),
+        "reassociation_rounds": rounds_used,
     }
     return np.asarray(poses), ticks, info

@@ -84,6 +84,47 @@ def test_optimize_is_jittable():
     assert np.isfinite(float(err))
 
 
+def test_reassociation_recovers_heavy_drift():
+    """Under drift larger than the association gate, the initial greedy
+    association splits physical landmarks into duplicates and optimization
+    stalls; re-associating from the optimized poses must merge them and
+    tighten the trajectory."""
+    from fastslam_tpu.backend.builder import reassociate_pose_graph
+
+    noisy, obs, gt, _ = simulate_world(k=16, drift=1.4, seed=7)
+    g = build_pose_graph(noisy, obs, max_landmarks=32, max_factors=512,
+                         association_gate=0.6)
+    n_lm0 = int(np.asarray(g.lm_valid).sum())
+
+    p, _, _, _ = optimize(g, num_iters=15)
+    err1 = np.linalg.norm(np.asarray(p)[:, :2] - gt[:, :2], axis=1).mean()
+    for _ in range(3):  # converges in 2-4 rounds
+        g = reassociate_pose_graph(g, np.asarray(p), association_gate=0.6)
+        p, _, _, _ = optimize(g, num_iters=15)
+    n_lm2 = int(np.asarray(g.lm_valid).sum())
+    err2 = np.linalg.norm(np.asarray(p)[:, :2] - gt[:, :2], axis=1).mean()
+
+    # duplicates merged
+    assert n_lm2 < n_lm0, f"{n_lm0} -> {n_lm2} landmarks"
+    # trajectory markedly closer to ground truth after re-association rounds
+    assert err2 < err1 * 0.7, f"mean pos err {err1:.4f} -> {err2:.4f}"
+
+
+def test_reassociation_noop_when_association_clean():
+    """With mild drift the first association is already right: a
+    re-association pass must not make things worse."""
+    from fastslam_tpu.backend.builder import reassociate_pose_graph
+
+    noisy, obs, gt, _ = simulate_world(k=12, drift=0.2, seed=6)
+    g = build_pose_graph(noisy, obs, max_landmarks=16, max_factors=256)
+    p1, _, e1, _ = optimize(g, num_iters=10)
+    g2 = reassociate_pose_graph(g, np.asarray(p1))
+    p2, _, e2, _ = optimize(g2, num_iters=10)
+    err1 = np.linalg.norm(np.asarray(p1)[:, :2] - gt[:, :2], axis=1).mean()
+    err2 = np.linalg.norm(np.asarray(p2)[:, :2] - gt[:, :2], axis=1).mean()
+    assert err2 < err1 * 1.2 + 1e-3
+
+
 def test_invalid_factors_are_inert():
     """Masked-out observations must not influence the solution."""
     noisy, obs, gt, _ = simulate_world(k=8, drift=0.2, seed=4)
