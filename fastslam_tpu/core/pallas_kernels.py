@@ -142,6 +142,7 @@ def _fused_update_kernel(
     parity: bool,
     assoc_bf16: bool = False,
     _skip_ekf: bool = False,
+    _no_cond: bool = False,
 ):
     """Layout note: particles occupy the LANE dimension (last axis) and
     landmark slots the sublane dimension.  Per-particle scalars are [1, T]
@@ -171,6 +172,8 @@ def _fused_update_kernel(
         # skip padded measurement slots entirely: the tick's real measurement
         # count is typically far below the static M_max capacity, and the
         # masked math would still burn the full [L, T] iteration cost
+        if _no_cond:
+            return _measurement_body(m, carry)
         return jax.lax.cond(
             zvalid_ref[m, 0] > 0,
             lambda c: _measurement_body(m, c),
@@ -427,6 +430,7 @@ def fused_update_planes(
     interpret: bool = False,
     assoc_bf16: bool = False,
     _skip_ekf: bool = False,
+    _no_cond: bool = False,
 ):
     """Planes-native fused measurement update — zero layout conversions.
 
@@ -464,6 +468,7 @@ def fused_update_planes(
         parity=bool(config.parity_mode),
         assoc_bf16=assoc_bf16,
         _skip_ekf=_skip_ekf,
+        _no_cond=_no_cond,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--bf16-assoc", action="store_true")
     ap.add_argument("--skip-ekf", action="store_true",
                     help="association-only timing experiment")
+    ap.add_argument("--no-cond", action="store_true",
+                    help="always-execute masked measurement body (no lax.cond)")
     ap.add_argument("--no-donate", action="store_true",
                     help="disable input buffer donation on the scan jit")
     ap.add_argument("--production", action="store_true",
@@ -69,7 +71,8 @@ def main():
         def body(s, _):
             s, pose = fastslam_step_planes(
                 s, jnp.float32(0.0), jnp.float32(0.4), ms, cfg,
-                assoc_bf16=args.bf16_assoc,
+                assoc_bf16=args.bf16_assoc, _skip_ekf=args.skip_ekf,
+                _no_cond=args.no_cond,
             )
             return s, pose
     elif args.bf16_assoc or args.skip_ekf:
@@ -110,7 +113,8 @@ def main():
                  "pallas" if args.pallas else "scan")
                 + ("+bf16" if args.bf16_assoc else "")
                 + ("+noekf" if args.skip_ekf else "")
-                + ("+prod" if args.production else ""),
+                + ("+prod" if args.production else "")
+                + ("+nocond" if args.no_cond else ""),
         "step_ms": round(dt * 1e3, 3),
         "particles": st.num_particles if args.planes else args.particles,
         "updates_per_s": round(
