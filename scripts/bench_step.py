@@ -30,6 +30,8 @@ def main():
                     help="association-only timing experiment")
     ap.add_argument("--no-cond", action="store_true",
                     help="always-execute masked measurement body (no lax.cond)")
+    ap.add_argument("--no-resample", action="store_true",
+                    help="disable resampling (fixed-cost attribution)")
     ap.add_argument("--no-donate", action="store_true",
                     help="disable input buffer donation on the scan jit")
     ap.add_argument("--production", action="store_true",
@@ -55,6 +57,7 @@ def main():
         # Pallas kernels only run interpreted on CPU
         pallas_interpret=args.cpu and (args.pallas or args.planes),
         parity_mode=not args.production,
+        resample_threshold_frac=0.0 if args.no_resample else 0.5,
     )
     st = init_state(cfg, rng=0)
     n_valid = args.valid_measurements or args.measurements
@@ -114,7 +117,8 @@ def main():
                 + ("+bf16" if args.bf16_assoc else "")
                 + ("+noekf" if args.skip_ekf else "")
                 + ("+prod" if args.production else "")
-                + ("+nocond" if args.no_cond else ""),
+                + ("+nocond" if args.no_cond else "")
+                + ("+nores" if args.no_resample else ""),
         "step_ms": round(dt * 1e3, 3),
         "particles": st.num_particles if args.planes else args.particles,
         "updates_per_s": round(
