@@ -62,6 +62,13 @@ class FastSLAMConfig:
     hough_num_thetas: int = 180           # 1-degree theta bins
     hough_rho_bins: int = 4096            # static accumulator extent (+-2048 px)
     max_hough_lines: int = 24             # top-K detected lines kept
+    # sub-pixel line refinement: weighted total-least-squares refit of each
+    # detected line over the scan points within hough_refine_band_px of it
+    # (the reference/cv2 quantize to 1 px rho and 1 degree theta —
+    # hough_transformation.py:24; Hough detects, the points estimate).
+    # Production only — parity mode keeps the reference's quantized lines.
+    hough_refine: bool = True
+    hough_refine_band_px: float = 3.0
     min_line_angle_deg: float = 45.0      # intersection angle gate (:101)
     max_intersections: int = 64           # K*(K-1)/2 capped
     cluster_eps: float = 0.5              # DBSCAN eps for intersections (:58)

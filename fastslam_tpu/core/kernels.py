@@ -749,7 +749,6 @@ def fastslam_step_planes(
     *,
     assoc_bf16: bool = False,
     _skip_ekf: bool = False,
-    _no_cond: bool = False,
 ) -> Tuple[PlanesState, jax.Array]:
     """One full filter iteration on the planes-layout state.
 
@@ -785,7 +784,7 @@ def fastslam_step_planes(
         state.lm_cc, state.lm_cd, state.lm_count,
         measurements.range_bearing, measurements.valid, config,
         interpret=config.pallas_interpret, assoc_bf16=assoc_bf16,
-        _skip_ekf=_skip_ekf, _no_cond=_no_cond,
+        _skip_ekf=_skip_ekf,
     )
     state = state._replace(
         log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb,

@@ -125,6 +125,7 @@ def _fused_update_kernel(
     # scalar-prefetch
     z_ref,        # [M, 4] SMEM: (distance, bearing, cos(bearing), sin(bearing))
     zvalid_ref,   # [M, 1] SMEM int32
+    mlast_ref,    # [1] SMEM int32: last valid measurement index + 1
     # inputs (VMEM tiles, TRANSPOSED layout: particles on the lane axis)
     px_ref, py_ref, yaw_ref,          # [1, T]
     cy_ref, sy_ref,                   # [1, T] cos(yaw), sin(yaw)
@@ -142,14 +143,27 @@ def _fused_update_kernel(
     parity: bool,
     assoc_bf16: bool = False,
     _skip_ekf: bool = False,
-    _no_cond: bool = False,
 ):
     """Layout note: particles occupy the LANE dimension (last axis) and
     landmark slots the sublane dimension.  Per-particle scalars are [1, T]
     rows costing ~T/128 vregs per op; in the naive [T, 1] column layout each
     scalar op burned a full (8,128) vreg per 8 particles (127/128 lanes idle)
     and the EKF's ~80 scalar ops dominated the kernel (~30 ms/step).  Rows +
-    sublane reductions bring the whole step to VPU-roofline territory."""
+    sublane reductions bring the whole step to VPU-roofline territory.
+
+    Measurement-loop structure: the trip count is DYNAMIC — ``mlast_ref``
+    holds (last valid index + 1), so padded tail slots cost nothing and, for
+    the packed masks ``pad_measurements`` produces, no per-measurement branch
+    is needed at all.  A ``lax.cond`` skip was measured at ~155 us per
+    measurement per step (2.5 ms/step at M=16) even with an always-true
+    predicate; interior mask holes are handled by the cheap ``z_ok`` row
+    gating instead.
+
+    A merged det/validity plane rides in the loop carry: ``detp > 0`` means
+    "slot occupied and covariance positive-definite" (invalid slots are
+    pinned to -1), replacing the per-measurement ``slot < cnt`` mask and the
+    3-op determinant recompute with one compare; appends and EKF updates
+    refresh the affected slot from cheap [1, T] row math."""
     l, t = mx_in.shape
     px = px_ref[:, :]                 # [1, T]
     py = py_ref[:, :]
@@ -167,29 +181,16 @@ def _fused_update_kernel(
     logw = logw_in[:, :]
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (l, t), 0)
-
-    def measurement_step(m, carry):
-        # skip padded measurement slots entirely: the tick's real measurement
-        # count is typically far below the static M_max capacity, and the
-        # masked math would still burn the full [L, T] iteration cost
-        if _no_cond:
-            return _measurement_body(m, carry)
-        return jax.lax.cond(
-            zvalid_ref[m, 0] > 0,
-            lambda c: _measurement_body(m, c),
-            lambda c: c,
-            carry,
-        )
+    # det/validity plane: > 0 iff the slot is occupied AND det(cov) > 0
+    detp = jnp.where(slot < cnt, ca * cd - cb * cc, -1.0)
 
     def _measurement_body(m, carry):
-        mx, my, ca, cb, cc, cd, cnt, logw = carry
+        mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
         dist_z = z_ref[m, 0]
         bearing_z = z_ref[m, 1]
         cos_b = z_ref[m, 2]
         sin_b = z_ref[m, 3]
         z_ok = zvalid_ref[m, 0] > 0
-
-        lm_valid = slot < cnt                       # [L, T]
 
         # world-frame observation via angle addition (no in-kernel sin/cos):
         # cos(yaw+b) = cos yaw cos b - sin yaw sin b, etc.
@@ -205,29 +206,26 @@ def _fused_update_kernel(
             dy_q = my - wy
 
         if assoc_bf16:
-            # gate math in bf16: 2x lane density on the dominant [L, T] ops;
-            # the gate boundary blurs by ~0.5% (production mode only)
+            # distance math in bf16: 2x lane density on the dominant [L, T]
+            # ops; the gate boundary blurs by ~0.5% (production mode only)
             bf = jnp.bfloat16
             dxb = dx_q.astype(bf)
             dyb = dy_q.astype(bf)
             cab, cbb, ccb, cdb = (ca.astype(bf), cb.astype(bf),
                                   cc.astype(bf), cd.astype(bf))
-            det = (cab * cdb - cbb * ccb).astype(mx.dtype)
-            usable = lm_valid & (det > 0.0)  # Mosaic lowers no bf16 cmpf
             d2f = (dxb * (cdb * dxb - cbb * dyb)
                    + dyb * (-ccb * dxb + cab * dyb)).astype(mx.dtype)
         else:
-            det = ca * cd - cb * cc
-            usable = lm_valid & (det > 0.0)
             d2f = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
+        usable = detp > 0.0
 
         if parity:
             # Mahalanobis^2 gate WITHOUT a [L, T] divide: d2/det < gate^2 with
             # det > 0  <=>  d2_raw < gate^2 * det.
-            hit = usable & (d2f < (gate * gate) * det)
-            has_match = jnp.any(hit, axis=0, keepdims=True)      # [1, T]
-            # first hit: min slot index among hits
+            hit = usable & (d2f < (gate * gate) * detp)
+            # first hit: min slot index among hits; a hit exists iff idx < L
             idx = jnp.min(jnp.where(hit, slot, l), axis=0, keepdims=True)
+            has_match = idx < l                                  # [1, T]
         else:
             # best hit via ONE packed min-reduction: the normalized distance's
             # f32 bit pattern is order-preserving for non-negative values, so
@@ -238,7 +236,7 @@ def _fused_update_kernel(
             # reduction, no hit mask, no second argmin pass.  The 8 dropped
             # mantissa bits blur the gate boundary by ~2^-15 relative
             # (production mode only; parity keeps exact semantics above).
-            inv_det = pl.reciprocal(jnp.where(usable, det, 1.0), approx=True)
+            inv_det = pl.reciprocal(jnp.where(usable, detp, 1.0), approx=True)
             dist2 = jnp.maximum(d2f * inv_det, 0.0)
             key = jax.lax.bitcast_convert_type(dist2, jnp.int32)
             key = jnp.where(usable, (key & ~0xFF) | slot, _INVALID_KEY)
@@ -258,9 +256,10 @@ def _fused_update_kernel(
             my = jnp.where(app, wy, my)
             ca = jnp.where(app, default_cov, ca)
             cd = jnp.where(app, default_cov, cd)
+            detp = jnp.where(app, default_cov * default_cov, detp)
             cnt = cnt + do_append.astype(jnp.int32)
             logw = logw + jnp.sum(oh, axis=0, keepdims=True) * 1e-9
-            return mx, my, ca, cb, cc, cd, cnt, logw
+            return mx, my, ca, cb, cc, cd, detp, cnt, logw
 
         # gather matched slot by one-hot contraction (sublane reduction)
         mu_x = jnp.sum(mx * oh, axis=0, keepdims=True)           # [1, T]
@@ -343,6 +342,8 @@ def _fused_update_kernel(
         cb = jnp.where(upd, new_b, cb)
         cc = jnp.where(upd, new_c, cc)
         cd = jnp.where(upd, new_d, cd)
+        new_det = new_a * new_d - new_b * new_c      # [1, T] row, cheap
+        detp = jnp.where(upd, new_det, detp)
 
         mx = jnp.where(app, wx, mx)
         my = jnp.where(app, wy, my)
@@ -350,14 +351,17 @@ def _fused_update_kernel(
         cb = jnp.where(app, 0.0, cb)
         cc = jnp.where(app, 0.0, cc)
         cd = jnp.where(app, default_cov, cd)
+        detp = jnp.where(app, default_cov * default_cov, detp)
 
         cnt = cnt + do_append.astype(jnp.int32)
         logw = jnp.where(do_update, logw + log_lik, logw)
-        return mx, my, ca, cb, cc, cd, cnt, logw
+        return mx, my, ca, cb, cc, cd, detp, cnt, logw
 
-    mx, my, ca, cb, cc, cd, cnt, logw = jax.lax.fori_loop(
-        0, num_measurements, measurement_step,
-        (mx, my, ca, cb, cc, cd, cnt, logw),
+    # dynamic trip count: stop after the last valid measurement (padded
+    # masks are packed-first, so this skips the tail for free)
+    mx, my, ca, cb, cc, cd, detp, cnt, logw = jax.lax.fori_loop(
+        0, jnp.minimum(mlast_ref[0], num_measurements), _measurement_body,
+        (mx, my, ca, cb, cc, cd, detp, cnt, logw),
     )
 
     logw_out[:, :] = logw
@@ -430,7 +434,6 @@ def fused_update_planes(
     interpret: bool = False,
     assoc_bf16: bool = False,
     _skip_ekf: bool = False,
-    _no_cond: bool = False,
 ):
     """Planes-native fused measurement update — zero layout conversions.
 
@@ -468,11 +471,10 @@ def fused_update_planes(
         parity=bool(config.parity_mode),
         assoc_bf16=assoc_bf16,
         _skip_ekf=_skip_ekf,
-        _no_cond=_no_cond,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[rowspec] * 6 + [plane] * 6 + [rowspec],
         out_specs=[rowspec] + [plane] * 6 + [rowspec],
@@ -490,6 +492,10 @@ def fused_update_planes(
         [z.astype(dt), jnp.cos(z[:, 1:2]).astype(dt), jnp.sin(z[:, 1:2]).astype(dt)],
         axis=1,
     )
+    # dynamic trip count: last valid measurement index + 1 (0 if none)
+    mlast = jnp.max(
+        jnp.where(z_valid, jnp.arange(1, m + 1, dtype=jnp.int32), 0)
+    ).reshape(1)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -501,6 +507,7 @@ def fused_update_planes(
     )(
         z_aug,
         z_valid.astype(jnp.int32).reshape(m, 1),
+        mlast,
         row(poses[:, 0]), row(poses[:, 1]), row(poses[:, 2]),
         row(jnp.cos(poses[:, 2])), row(jnp.sin(poses[:, 2])),
         row(log_weights),

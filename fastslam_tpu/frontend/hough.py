@@ -141,14 +141,74 @@ def hough_lines(points: jax.Array, valid: jax.Array,
     k = config.max_hough_lines
     top_score, top_idx = jax.lax.top_k(score, k)
     line_valid = top_score > 0
-    line_t = top_idx // r_bins
-    line_r = (top_idx % r_bins) - r_half
-    lines = HoughLines(
-        rho=line_r.astype(jnp.float32),
-        theta=line_t.astype(jnp.float32) * (jnp.pi / t_bins),
-        valid=line_valid,
-    )
+    t_i = top_idx // r_bins
+    r_i = top_idx % r_bins
+
+    rho_f = (r_i - r_half).astype(jnp.float32)
+    theta_f = t_i.astype(jnp.float32) * (jnp.pi / t_bins)
+    lines = HoughLines(rho=rho_f, theta=theta_f, valid=line_valid)
+
+    if config.hough_refine and not config.parity_mode:
+        # total-least-squares refit: Hough detects (coarse 1 px / 1 degree
+        # bins — hough_transformation.py:24), the scan points estimate.  For
+        # each detected line, weight the un-rasterized pixel-space points
+        # within a distance band of it and refit (rho, theta) by weighted
+        # PCA: the line runs through the inlier centroid along the principal
+        # eigenvector.  (Parabolic accumulator interpolation was tried and
+        # measurably HURT: vote counts near a peak reflect point-to-bin
+        # aliasing, not a smooth surface.)
+        pxf = points[:, 0] * config.hough_scale + off_x.astype(jnp.float32)
+        pyf = points[:, 1] * config.hough_scale + off_y.astype(jnp.float32)
+        lines = refine_lines_tls(
+            lines, pxf, pyf, valid, band_px=config.hough_refine_band_px
+        )
+
     return lines, off_x, off_y, width, height
+
+
+def refine_lines_tls(lines: HoughLines, pxf: jax.Array, pyf: jax.Array,
+                     valid: jax.Array, band_px: float = 3.0) -> HoughLines:
+    """Weighted total-least-squares refit of each line over its inliers.
+
+    Args: ``pxf/pyf`` ``[N]`` float pixel coordinates, ``valid`` ``[N]``.
+    A line keeps its Hough estimate when fewer than 3 points fall inside the
+    band (degenerate fit).
+    """
+    nx = jnp.cos(lines.theta)[:, None]           # [K, 1]
+    ny = jnp.sin(lines.theta)[:, None]
+    d = jnp.abs(pxf[None, :] * nx + pyf[None, :] * ny - lines.rho[:, None])
+    w = ((d < band_px) & valid[None, :]).astype(jnp.float32)   # [K, N]
+    wsum = jnp.sum(w, axis=1)
+    ws = jnp.maximum(wsum, 1e-9)
+
+    cx = jnp.sum(w * pxf[None, :], axis=1) / ws
+    cy = jnp.sum(w * pyf[None, :], axis=1) / ws
+    dx = pxf[None, :] - cx[:, None]
+    dy = pyf[None, :] - cy[:, None]
+    sxx = jnp.sum(w * dx * dx, axis=1)
+    sxy = jnp.sum(w * dx * dy, axis=1)
+    syy = jnp.sum(w * dy * dy, axis=1)
+
+    # principal direction phi of the 2x2 scatter; the line's NORMAL is
+    # phi + pi/2, folded into [0, pi) with rho's sign following
+    phi = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
+    theta_n = phi + jnp.pi / 2.0
+    nrx = jnp.cos(theta_n)
+    nry = jnp.sin(theta_n)
+    rho_n = cx * nrx + cy * nry
+    flip = theta_n >= jnp.pi
+    theta_n = jnp.where(flip, theta_n - jnp.pi, theta_n)
+    rho_n = jnp.where(flip, -rho_n, rho_n)
+    neg = theta_n < 0
+    theta_n = jnp.where(neg, theta_n + jnp.pi, theta_n)
+    rho_n = jnp.where(neg, -rho_n, rho_n)
+
+    ok = (wsum >= 3.0) & lines.valid
+    return HoughLines(
+        rho=jnp.where(ok, rho_n, lines.rho),
+        theta=jnp.where(ok, theta_n, lines.theta),
+        valid=lines.valid,
+    )
 
 
 class Intersections(NamedTuple):

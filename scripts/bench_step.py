@@ -28,10 +28,11 @@ def main():
     ap.add_argument("--bf16-assoc", action="store_true")
     ap.add_argument("--skip-ekf", action="store_true",
                     help="association-only timing experiment")
-    ap.add_argument("--no-cond", action="store_true",
-                    help="always-execute masked measurement body (no lax.cond)")
     ap.add_argument("--no-resample", action="store_true",
                     help="disable resampling (fixed-cost attribution)")
+    ap.add_argument("--fused-only", action="store_true",
+                    help="time ONLY the fused planes kernel (no propagate/"
+                         "normalize/resample/estimate)")
     ap.add_argument("--no-donate", action="store_true",
                     help="disable input buffer donation on the scan jit")
     ap.add_argument("--production", action="store_true",
@@ -65,7 +66,23 @@ def main():
         cfg, [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(n_valid)]
     )
 
-    if args.planes:
+    if args.planes and args.fused_only:
+        from fastslam_tpu.core.pallas_kernels import fused_update_planes
+        from fastslam_tpu.core.state import init_planes_state
+
+        st = init_planes_state(cfg, rng=0)
+
+        def body(s, _):
+            logw, mx, my, ca, cb, cc, cd, cnt = fused_update_planes(
+                s.poses, s.log_weights, s.lm_mx, s.lm_my, s.lm_ca, s.lm_cb,
+                s.lm_cc, s.lm_cd, s.lm_count,
+                ms.range_bearing, ms.valid, cfg,
+                assoc_bf16=args.bf16_assoc, _skip_ekf=args.skip_ekf,
+            )
+            s = s._replace(log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca,
+                           lm_cb=cb, lm_cc=cc, lm_cd=cd, lm_count=cnt)
+            return s, s.poses[0]
+    elif args.planes:
         from fastslam_tpu.core.kernels import fastslam_step_planes
         from fastslam_tpu.core.state import init_planes_state
 
@@ -75,7 +92,6 @@ def main():
             s, pose = fastslam_step_planes(
                 s, jnp.float32(0.0), jnp.float32(0.4), ms, cfg,
                 assoc_bf16=args.bf16_assoc, _skip_ekf=args.skip_ekf,
-                _no_cond=args.no_cond,
             )
             return s, pose
     elif args.bf16_assoc or args.skip_ekf:
@@ -117,8 +133,8 @@ def main():
                 + ("+bf16" if args.bf16_assoc else "")
                 + ("+noekf" if args.skip_ekf else "")
                 + ("+prod" if args.production else "")
-                + ("+nocond" if args.no_cond else "")
-                + ("+nores" if args.no_resample else ""),
+                + ("+nores" if args.no_resample else "")
+                + ("+fusedonly" if args.fused_only else ""),
         "step_ms": round(dt * 1e3, 3),
         "particles": st.num_particles if args.planes else args.particles,
         "updates_per_s": round(
