@@ -33,8 +33,10 @@ def bench_tpu(num_steps: int = 10):
     import jax.numpy as jnp
 
     from fastslam_tpu.config import FastSLAMConfig
-    from fastslam_tpu.core.kernels import fastslam_step
-    from fastslam_tpu.core.state import init_state, pad_measurements
+    from fastslam_tpu.core.kernels import fastslam_step, fastslam_step_planes
+    from fastslam_tpu.core.state import (
+        init_planes_state, init_state, pad_measurements,
+    )
 
     # fused Pallas kernel on TPU; XLA scan path elsewhere
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -42,26 +44,40 @@ def bench_tpu(num_steps: int = 10):
         num_particles=100_000, max_landmarks=64, max_measurements=16,
         use_pallas=on_tpu,
     )
-    state = init_state(config, rng=0)
     ms_list = [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(16)]
     ms = pad_measurements(config, ms_list)
 
-    def body(s, _):
-        s, pose = fastslam_step(
-            s, jnp.float32(0.0), jnp.float32(0.4), ms, config
-        )
-        return s, pose
+    if on_tpu:
+        # planes-native state: the landmark blocks stay in the kernel's
+        # [L, P] layout between steps (no per-step transposes)
+        state = init_planes_state(config, rng=0)
 
-    multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=num_steps))
+        def body(s, _):
+            s, pose = fastslam_step_planes(
+                s, jnp.float32(0.0), jnp.float32(0.4), ms, config
+            )
+            return s, pose
+    else:
+        state = init_state(config, rng=0)
 
-    state2, _ = multi(state)  # compile + warm
+        def body(s, _):
+            s, pose = fastslam_step(
+                s, jnp.float32(0.0), jnp.float32(0.4), ms, config
+            )
+            return s, pose
+
+    multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=num_steps),
+                    donate_argnums=0)
+
+    state2, _ = multi(state)  # compile + warm (donates `state`)
     jax.block_until_ready(state2)
 
     t0 = time.perf_counter()
-    state2, _ = multi(state)
-    jax.block_until_ready(state2)
+    state3, _ = multi(state2)
+    jax.block_until_ready(state3)
     dt = time.perf_counter() - t0
 
+    # conservative: the planes engine actually runs ceil-to-tile particles
     updates = config.num_particles * config.max_measurements * num_steps
     return updates / dt, dt / num_steps
 

@@ -446,13 +446,20 @@ def fused_update_planes(
     """
     l, p = lm_mx.shape
     m = z.shape[0]
-    if p % 128:
-        raise ValueError(f"planes particle count {p} not a multiple of 128")
     if not config.parity_mode and l > 256:
         raise ValueError("packed argmin supports at most 256 landmark slots")
-    tile = _lane_tile(p)
-    while p % tile:
-        tile -= 128
+    if p < 128:
+        tile = p  # one sub-lane-width tile (Mosaic masks the padding)
+    elif p % 128:
+        raise ValueError(
+            f"planes particle count {p} must be a multiple of 128 "
+            "(see planes_particle_count; for sharded runs make the global "
+            "count a multiple of 128 * num_devices)"
+        )
+    else:
+        tile = _lane_tile(p)
+        while p % tile:
+            tile -= 128
     grid = (p // tile,)
     dt = lm_mx.dtype
 

@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fastslam_tpu.config import FastSLAMConfig
-from fastslam_tpu.core.state import FilterState
+from fastslam_tpu.core.state import FilterState, PlanesState
 
 
 def make_mesh(config: FastSLAMConfig, devices: Optional[Sequence] = None,
@@ -61,4 +61,35 @@ def state_sharding(mesh: Mesh, config: FastSLAMConfig) -> FilterState:
 def shard_state(state: FilterState, mesh: Mesh, config: FastSLAMConfig) -> FilterState:
     """Place an existing state onto the mesh with the canonical sharding."""
     sh = state_sharding(mesh, config)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def planes_state_sharding(mesh: Mesh, config: FastSLAMConfig) -> PlanesState:
+    """A PlanesState-shaped pytree of NamedShardings.
+
+    Landmark planes are ``[L, P]`` — particles on the LAST axis — so they
+    shard on axis 1; per-particle arrays shard on axis 0.  The planes step
+    keeps every particle's full landmark block local (the fused kernel needs
+    all L slots of its particles in VMEM), so the mesh must be 1-D over the
+    particle axis.
+    """
+    pax = config.particle_axis
+    if config.map_axis in mesh.axis_names and mesh.shape[config.map_axis] > 1:
+        raise ValueError("planes sharding requires a 1-D particle-axis mesh")
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    plane = s(None, pax)
+    return PlanesState(
+        poses=s(pax, None),
+        log_weights=s(pax),
+        lm_mx=plane, lm_my=plane, lm_ca=plane,
+        lm_cb=plane, lm_cc=plane, lm_cd=plane,
+        lm_count=s(pax),
+        rng=s(),
+    )
+
+
+def shard_planes_state(state: PlanesState, mesh: Mesh,
+                       config: FastSLAMConfig) -> PlanesState:
+    """Place an existing planes state onto the mesh."""
+    sh = planes_state_sharding(mesh, config)
     return jax.tree.map(jax.device_put, state, sh)

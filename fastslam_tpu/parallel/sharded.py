@@ -28,8 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fastslam_tpu.config import FastSLAMConfig
 from fastslam_tpu.core import kernels
-from fastslam_tpu.core.state import FilterState, Measurements
-from fastslam_tpu.parallel.mesh import state_sharding
+from fastslam_tpu.core.state import FilterState, Measurements, PlanesState
+from fastslam_tpu.parallel.mesh import planes_state_sharding, state_sharding
 
 
 def _sharded_pallas_update(state: FilterState, measurements: Measurements,
@@ -128,6 +128,96 @@ def _constrained_step(
         lambda s: s, state,
     )
     return pin(state), kernels.estimate_pose(state)
+
+
+def _constrained_planes_step(
+    state: PlanesState,
+    rotation: jax.Array,
+    translation: jax.Array,
+    measurements: Measurements,
+    config: FastSLAMConfig,
+    mesh: Mesh,
+) -> Tuple[PlanesState, jax.Array]:
+    """fastslam_step_planes decomposed for the mesh: the fused kernel runs
+    per-shard via shard_map (GSPMD cannot partition a custom call) in its
+    NATIVE [L, P] layout — zero transposes — while weights/Neff/resampling/
+    estimate stay under GSPMD, which inserts the collectives.  RNG stream is
+    identical to kernels.fastslam_step_planes."""
+    from jax import shard_map
+
+    from fastslam_tpu.core.pallas_kernels import fused_update_planes
+
+    shardings = planes_state_sharding(mesh, config)
+    pin = lambda s: jax.tree.map(jax.lax.with_sharding_constraint, s, shardings)
+    state = pin(state)
+
+    rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
+    p = state.num_particles
+    dt = state.poses.dtype
+    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
+    trans_noise = config.translation_noise * jax.random.normal(
+        k_trans, (p,), dtype=dt
+    )
+    poses = kernels.propagate_particles(
+        state.poses, rotation, translation, rot_noise, trans_noise
+    )
+    state = pin(state._replace(poses=poses, rng=rng))
+
+    pax = config.particle_axis
+    pspec = P(pax)
+    plane_spec = P(None, pax)
+
+    def local(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid):
+        return fused_update_planes(
+            poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, config,
+            interpret=config.pallas_interpret,
+        )
+
+    logw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(pax, None), pspec) + (plane_spec,) * 6 + (pspec, P(), P()),
+        out_specs=(pspec,) + (plane_spec,) * 6 + (pspec,),
+        check_vma=False,
+    )(state.poses, state.log_weights, state.lm_mx, state.lm_my, state.lm_ca,
+      state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+      measurements.range_bearing, measurements.valid)
+    state = pin(state._replace(
+        log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb,
+        lm_cc=cc, lm_cd=cd, lm_count=cnt,
+    ))
+
+    log_w = kernels.normalize_log_weights(state.log_weights, config)
+    state = state._replace(log_weights=log_w)
+    neff = kernels.effective_particles(log_w, config)
+    u0 = jax.random.uniform(k_u, (), dtype=dt, maxval=1.0 / p)
+
+    def do_resample(s):
+        idx = kernels.systematic_resample_indices(jnp.exp(s.log_weights), u0)
+        return kernels.resample_planes_state(s, idx, config)
+
+    state = jax.lax.cond(
+        neff < config.resample_threshold_frac * p, do_resample,
+        lambda s: s, state,
+    )
+    state = pin(state)
+    best = jnp.argmax(state.log_weights)
+    return state, state.poses[best]
+
+
+def make_sharded_planes_step(config: FastSLAMConfig, mesh: Mesh):
+    """Compile the planes-native filter step for a 1-D particle mesh.
+
+    Same semantics as :func:`make_sharded_step` but the landmark state stays
+    in the Pallas kernel's [L, P] layout between steps (no transposes)."""
+    shardings = planes_state_sharding(mesh, config)
+    repl = NamedSharding(mesh, P())
+    ms_sharding = Measurements(range_bearing=repl, valid=repl)
+    return jax.jit(
+        partial(_constrained_planes_step, config=config, mesh=mesh),
+        in_shardings=(shardings, repl, repl, ms_sharding),
+        out_shardings=(shardings, repl),
+        donate_argnums=0,
+    )
 
 
 def make_sharded_step(config: FastSLAMConfig, mesh: Mesh):

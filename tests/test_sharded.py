@@ -150,3 +150,39 @@ def test_sharded_pallas_step_matches_scan(mesh):
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(st_a.lm_count), np.asarray(st_b.lm_count))
     assert len(st_b.lm_mean.addressable_shards) == 8
+
+
+def test_sharded_planes_step_matches_unsharded_planes(mesh):
+    """The planes-native sharded step (shard_map around fused_update_planes,
+    zero layout conversions) must agree with the single-device planes step
+    and stay sharded on the lane (particle) axis."""
+    from fastslam_tpu.core.state import from_planes, to_planes
+    from fastslam_tpu.parallel.mesh import shard_planes_state
+    from fastslam_tpu.parallel.sharded import make_sharded_planes_step
+
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=16, max_measurements=4,
+        use_pallas=True, pallas_interpret=True,
+    )
+    ms = pad_measurements(cfg, [(2.0, 0.3), (3.5, -0.7)])
+
+    ps_ref = to_planes(init_state(cfg, rng=9))
+    ps_sh = shard_planes_state(to_planes(init_state(cfg, rng=9)), mesh, cfg)
+    step = make_sharded_planes_step(cfg, mesh)
+
+    for _ in range(3):
+        ps_ref, pose_ref = kernels.fastslam_step_planes(
+            ps_ref, jnp.float32(0.0), jnp.float32(0.4), ms, cfg
+        )
+        ps_sh, pose_sh = step(ps_sh, jnp.float32(0.0), jnp.float32(0.4), ms)
+
+    np.testing.assert_allclose(np.asarray(pose_sh), np.asarray(pose_ref),
+                               atol=1e-5)
+    a = from_planes(jax.device_get(ps_sh))
+    b = from_planes(ps_ref)
+    np.testing.assert_allclose(np.asarray(a.lm_mean), np.asarray(b.lm_mean),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.lm_count), np.asarray(b.lm_count))
+    # planes sharded along the lane axis across all 8 devices
+    assert len(ps_sh.lm_mx.addressable_shards) == 8
+    assert ps_sh.lm_mx.addressable_shards[0].data.shape == (16, 16)
