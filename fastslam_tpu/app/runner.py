@@ -22,7 +22,14 @@ import numpy as np
 
 from fastslam_tpu.config import FastSLAMConfig
 from fastslam_tpu.core import kernels
-from fastslam_tpu.core.state import FilterState, Measurements, init_state
+from fastslam_tpu.core.state import (
+    FilterState,
+    Measurements,
+    from_planes,
+    init_planes_state,
+    init_state,
+    to_planes,
+)
 from fastslam_tpu.drivers.base import Driver
 from fastslam_tpu.eval.metrics import TickEvaluation, evaluate_tick, trajectory_metrics
 from fastslam_tpu.frontend.pipeline import scan_to_measurements
@@ -46,7 +53,13 @@ class SLAMRunner:
 
     def __init__(self, config: FastSLAMConfig, rng: int = 0):
         self.config = config
-        self.state: FilterState = init_state(config, rng)
+        self.uses_planes = config.use_planes_engine()
+        if self.uses_planes:
+            # Pallas-native [L, P] layout carried between ticks — no per-step
+            # transposes around the fused kernel
+            self.state = init_planes_state(config, rng)
+        else:
+            self.state = init_state(config, rng)
         self.robot = np.zeros(3)  # dead-reckoned pose during warmup
         self.iteration = 0
         self._prev_timestamp: Optional[float] = None
@@ -54,9 +67,18 @@ class SLAMRunner:
         self._frontend = jax.jit(
             lambda pts, valid: scan_to_measurements(pts, valid, config)
         )
-        self._step = jax.jit(
-            lambda st, rot, trans, ms: kernels.fastslam_step(st, rot, trans, ms, config)
-        )
+        if self.uses_planes:
+            self._step = jax.jit(
+                lambda st, rot, trans, ms: kernels.fastslam_step_planes(
+                    st, rot, trans, ms, config
+                ),
+                donate_argnums=0,
+            )
+        else:
+            self._step = jax.jit(
+                lambda st, rot, trans, ms: kernels.fastslam_step(st, rot, trans, ms, config)
+            )
+        self._to_blocks = jax.jit(from_planes) if self.uses_planes else None
         if config.use_icp_proposal:
             from fastslam_tpu.proposal.icp import icp_point_to_line
 
@@ -150,6 +172,18 @@ class SLAMRunner:
             self.robot = est.astype(float).copy()
         self._last_num_measurements = int(np.asarray(ms.valid).sum())
         return self.robot.copy()
+
+    def state_blocks(self) -> FilterState:
+        """The filter state in the [P, L, k] block layout, for consumers
+        (health monitor, viz clustering, checkpoint).  A no-op for the blocks
+        engine; a jitted layout conversion for the planes engine."""
+        if self.uses_planes:
+            return self._to_blocks(self.state)
+        return self.state
+
+    def set_state_blocks(self, state: FilterState) -> None:
+        """Install a block-layout state (e.g. after health recovery)."""
+        self.state = to_planes(state) if self.uses_planes else state
 
 
 def run_driver(
@@ -251,14 +285,15 @@ def run_driver(
         history.num_measurements.append(runner._last_num_measurements)
 
         if monitor is not None:
-            rep = monitor.check(runner.state, est)
+            rep = monitor.check(runner.state_blocks(), est)
             if not rep.ok:
                 if metrics:
                     metrics.write("health", tick=ticks, issues=rep.issues)
                 if "nan_or_inf_state" in rep.issues:
-                    runner.state = monitor.recover(
-                        runner.state, est, checkpoint_path=checkpoint_path
-                    )
+                    runner.set_state_blocks(monitor.recover(
+                        runner.state_blocks(), est,
+                        checkpoint_path=checkpoint_path,
+                    ))
         if metrics:
             metrics.write(
                 "tick", tick=ticks, distance=ev.distance,
@@ -268,7 +303,7 @@ def run_driver(
             from fastslam_tpu.frontend.global_map import cluster_known_landmarks
             from fastslam_tpu.io.serializer import serialize_tick
 
-            cents, ok = cluster_known_landmarks(runner.state, config)
+            cents, ok = cluster_known_landmarks(runner.state_blocks(), config)
             mask = np.asarray(ok)
             serialize_tick(
                 est, gt, np.asarray(runner.state.poses),
@@ -278,8 +313,8 @@ def run_driver(
         if checkpoint_path and ticks and ticks % checkpoint_every == 0:
             from fastslam_tpu.io.checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint_path, runner.state, iteration=ticks,
-                            robot_pose=runner.robot)
+            save_checkpoint(checkpoint_path, runner.state_blocks(),
+                            iteration=ticks, robot_pose=runner.robot)
 
         running = driver.step()
         ticks += 1

@@ -121,6 +121,26 @@ class FastSLAMConfig:
     # traffic than the lax.scan path).  Arithmetic is identical.
     use_pallas: bool = False
     pallas_interpret: bool = False  # run Pallas kernels interpreted (CPU tests)
+    # state layout carried between steps: "blocks" = [P, L, k] FilterState,
+    # "planes" = the Pallas kernel's native [L, P] PlanesState (no per-step
+    # transposes; requires use_pallas and the motion/ICP proposal), "auto" =
+    # planes whenever eligible
+    engine: str = "auto"
+
+    def planes_eligible(self) -> bool:
+        return self.use_pallas and (
+            self.parity_mode or self.proposal_mode != "fastslam2"
+        )
+
+    def use_planes_engine(self) -> bool:
+        if self.engine == "planes":
+            if not self.planes_eligible():
+                raise ValueError(
+                    "engine='planes' requires use_pallas and a non-fastslam2 "
+                    "proposal"
+                )
+            return True
+        return self.engine == "auto" and self.planes_eligible()
 
     @property
     def measurement_cov(self) -> Tuple[Tuple[float, float], Tuple[float, float]]:

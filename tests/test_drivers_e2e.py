@@ -118,3 +118,30 @@ def test_run_driver_production_hooks(tmp_path):
     st, meta = load_checkpoint(ckpt)
     assert meta["iteration"] in (25, 50)
     assert st.poses.shape == (32, 3)
+
+
+def test_runner_planes_engine_matches_blocks():
+    """engine='planes' (Pallas-native layout carried between ticks) must
+    produce the same trajectory as the block-layout pallas path: identical
+    RNG stream, identical kernel arithmetic, only the carried layout
+    differs (P=128 -> no tile padding -> bitwise-comparable)."""
+    from fastslam_tpu.app.runner import run_driver
+    from fastslam_tpu.config import FastSLAMConfig
+    from fastslam_tpu.drivers.replay import ReplayDriver, record_log
+    from fastslam_tpu.drivers.sim_world import SimWorld
+
+    log = record_log(SimWorld(seed=11), num_ticks=60)
+    base = FastSLAMConfig(
+        num_particles=128, max_landmarks=16, warmup_iterations=10,
+        use_pallas=True, pallas_interpret=True,
+    )
+    h_blocks = run_driver(
+        ReplayDriver(log), base.replace(engine="blocks"), rng=0
+    )
+    h_planes = run_driver(
+        ReplayDriver(log), base.replace(engine="planes"), rng=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_planes.est_poses), np.asarray(h_blocks.est_poses),
+        rtol=1e-5, atol=1e-5,
+    )
