@@ -67,6 +67,29 @@ class SLAMRunner:
         self._frontend = jax.jit(
             lambda pts, valid: scan_to_measurements(pts, valid, config)
         )
+        if config.track_corners:
+            from fastslam_tpu.frontend.pipeline import (
+                extract_corners, measurements_from_corners,
+            )
+            from fastslam_tpu.frontend.tracking import (
+                init_tracks, stable_corners, update_tracks,
+            )
+
+            self._tracks = init_tracks(config.track_capacity)
+
+            def tracked_frontend(tracks, pts, valid, rot, trans):
+                corners, cvalid = extract_corners(pts, valid, config)
+                tracks = update_tracks(
+                    tracks, corners, cvalid, rot, trans,
+                    gate=config.track_gate, ema=config.track_ema,
+                    max_misses=config.track_max_misses,
+                )
+                pos, ids, ok = stable_corners(
+                    tracks, min_hits=config.track_min_hits
+                )
+                return tracks, measurements_from_corners(pos, ok, config)
+
+            self._tracked_frontend = jax.jit(tracked_frontend)
         if self.uses_planes:
             self._step = jax.jit(
                 lambda st, rot, trans, ms: kernels.fastslam_step_planes(
@@ -154,9 +177,16 @@ class SLAMRunner:
              translation: float) -> np.ndarray:
         """Run perception + filter for one tick; returns the pose estimate
         the application should adopt (respecting the warmup gate)."""
-        ms: Measurements = self._frontend(
-            jnp.asarray(points, jnp.float32), jnp.asarray(valid)
-        )
+        if self.config.track_corners:
+            self._tracks, ms = self._tracked_frontend(
+                self._tracks, jnp.asarray(points, jnp.float32),
+                jnp.asarray(valid), jnp.float32(rotation),
+                jnp.float32(translation),
+            )
+        else:
+            ms = self._frontend(
+                jnp.asarray(points, jnp.float32), jnp.asarray(valid)
+            )
         self.state, est = self._step(
             self.state, jnp.float32(rotation), jnp.float32(translation), ms
         )

@@ -74,6 +74,22 @@ class FastSLAMConfig:
     cluster_eps: float = 0.5              # DBSCAN eps for intersections (:58)
     corner_threshold: float = 0.1         # corner-to-scan-point gate (landmark_utils.py:63)
 
+    # ---- corner identity tracking (frontend/tracking.py; greenfield) ----
+    # gate one-frame Hough flickers out of the filter: corners must persist
+    # across track_min_hits ego-compensated ticks before they are emitted.
+    # Off by default: on clean simulator logs there is no flicker to reject
+    # and the min_hits delay slightly hurts ATE — enable for flicker-prone
+    # real sensors, or use the track ids as landmark identities downstream.
+    track_corners: bool = False
+    track_capacity: int = 32
+    track_gate: float = 0.4          # match gate, metres
+    track_min_hits: int = 2
+    track_max_misses: int = 3
+    # 1.0 = emit the current detection (track used only for gating/identity);
+    # < 1 smooths positions with the odometry-predicted track — only sensible
+    # when odometry noise is well below measurement noise
+    track_ema: float = 1.0
+
     # ---- viz landmark clustering (landmark_utils.py:120-144) ----
     viz_cluster_eps: float = 0.5
     viz_min_samples_frac: float = 0.7     # min_samples = frac * avg landmarks/particle

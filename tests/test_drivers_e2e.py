@@ -145,3 +145,22 @@ def test_runner_planes_engine_matches_blocks():
         np.asarray(h_planes.est_poses), np.asarray(h_blocks.est_poses),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_runner_with_corner_tracking():
+    """track_corners=True end to end: the ego-compensated identity tracker
+    sits between corner detection and the filter; ATE stays bounded."""
+    from fastslam_tpu.app.runner import run_driver
+    from fastslam_tpu.config import FastSLAMConfig
+    from fastslam_tpu.drivers.replay import ReplayDriver, record_log
+    from fastslam_tpu.drivers.sim_world import SimWorld
+
+    log = record_log(SimWorld(seed=3), num_ticks=200)
+    cfg = FastSLAMConfig(
+        num_particles=64, max_landmarks=32, warmup_iterations=100,
+        parity_mode=False, track_corners=True,
+    )
+    hist = run_driver(ReplayDriver(log), cfg, rng=0)
+    m = hist.metrics()
+    assert np.isfinite(m["ate_rmse_m"])
+    assert m["ate_rmse_m"] < 0.15, m
