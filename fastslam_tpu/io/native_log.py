@@ -154,12 +154,20 @@ def _record_dtype(num_beams: int) -> np.dtype:
 # ---------------------------------------------------------------------------
 
 def read_log(path: str, *, start: int = 0, count: Optional[int] = None,
-             force_numpy: bool = False):
-    """Read a LaserLog (optionally a tick slice) from FSLG1."""
+             force_numpy: bool = False, mmap: bool = False):
+    """Read a LaserLog (optionally a tick slice) from FSLG1.
+
+    With ``mmap=True`` the record block is memory-mapped read-only instead of
+    copied — O(1) open time and no RSS spike for multi-GB logs; pages fault
+    in as the replay touches them.  (Scans stay a zero-copy strided view;
+    small per-tick columns are materialized since they are read densely.)
+    """
     from fastslam_tpu.drivers.replay import LaserLog
 
     if start < 0 or (count is not None and count < 0):
         raise ValueError("start/count must be non-negative")
+    if mmap:
+        return _read_log_mmap(path, start, count)
     lib = None if force_numpy else _load_library()
     if lib is not None:
         u32 = ctypes.c_uint32
@@ -240,4 +248,44 @@ def read_log(path: str, *, start: int = 0, count: Optional[int] = None,
         bumper_state=(rec["bumper"] & 0xFF).astype(np.int32),
         bumper_id=((rec["bumper"] >> 8) & 0xFF).astype(np.int32),
         gt_poses=np.ascontiguousarray(rec["gt"]),
+    )
+
+
+def _read_log_mmap(path: str, start: int, count: Optional[int]):
+    """Memory-mapped read: the scan block is a zero-copy strided view into
+    the page cache; small per-tick columns are materialized."""
+    from fastslam_tpu.drivers.replay import LaserLog
+
+    with open(path, "rb") as f:
+        header = f.read(_HEADER_BYTES)
+    if len(header) < _HEADER_BYTES or header[:5] != _MAGIC:
+        raise OSError("not an FSLG1 file")
+    t_total = int(np.frombuffer(header[8:12], "<u4")[0])
+    b = int(np.frombuffer(header[12:16], "<u4")[0])
+    mn = float(np.frombuffer(header[16:20], "<f4")[0])
+    mx = float(np.frombuffer(header[20:24], "<f4")[0])
+    rec_bytes = int(np.frombuffer(header[24:28], "<u4")[0])
+    if b == 0 or b > 1_000_000 or rec_bytes != 8 + 4 + 4 + 4 + 24 + 4 * b:
+        raise OSError("corrupt FSLG1 header: record size mismatch")
+    dt = _record_dtype(b)
+    n = t_total - start if count is None else count
+    if n < 0 or start + n > t_total:
+        raise OSError(
+            f"slice [{start}, {start}+{n}) out of range for {t_total} ticks"
+        )
+    if _HEADER_BYTES + t_total * dt.itemsize > os.path.getsize(path):
+        raise OSError("truncated FSLG1 file (header claims more ticks)")
+
+    rec = np.memmap(path, dtype=dt, mode="r", offset=_HEADER_BYTES,
+                    shape=(t_total,))[start:start + n]
+    bumper = np.asarray(rec["bumper"])
+    return LaserLog(
+        scans=rec["scan"],  # zero-copy strided view over the mapping
+        min_range=mn, max_range=mx,
+        timestamps=np.asarray(rec["timestamp"]),
+        cmd_v=np.asarray(rec["cmd_v"]),
+        cmd_w=np.asarray(rec["cmd_w"]),
+        bumper_state=(bumper & 0xFF).astype(np.int32),
+        bumper_id=((bumper >> 8) & 0xFF).astype(np.int32),
+        gt_poses=np.asarray(rec["gt"]),
     )

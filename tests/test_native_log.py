@@ -117,3 +117,31 @@ def test_random_access_slice(tmp_path, log):
     if native_available():
         part2 = read_log(p, start=10, count=5)
         np.testing.assert_allclose(part2.scans, log.scans[10:15], rtol=1e-6)
+
+
+def test_mmap_read_matches_copy_read(tmp_path, log):
+    p = str(tmp_path / "mm.fslog")
+    write_log(p, log, force_numpy=True)
+    assert_logs_equal(read_log(p, mmap=True), log)
+    part = read_log(p, start=7, count=9, mmap=True)
+    assert len(part) == 9
+    np.testing.assert_allclose(np.asarray(part.scans), log.scans[7:16],
+                               rtol=1e-6)
+    # replay works directly over the mapping
+    from fastslam_tpu.drivers.replay import ReplayDriver
+
+    d = ReplayDriver(read_log(p, mmap=True))
+    scan = d.get_laser()
+    np.testing.assert_allclose(np.asarray(scan.values), log.scans[0], rtol=1e-6)
+
+
+def test_mmap_rejects_corrupt_and_truncated(tmp_path, log):
+    p = str(tmp_path / "mm2.fslog")
+    write_log(p, log, force_numpy=True)
+    blob = open(p, "rb").read()
+    q = str(tmp_path / "bad.fslog")
+    open(q, "wb").write(blob[: len(blob) // 2])
+    with pytest.raises((OSError, ValueError)):
+        read_log(q, mmap=True)
+    with pytest.raises((OSError, ValueError)):
+        read_log(p, start=len(log), count=2, mmap=True)
