@@ -23,12 +23,15 @@ import time
 import numpy as np
 
 
-def bench_tpu(num_steps: int = 10):
+def bench_tpu(num_steps: int = 50):
     """Time ``num_steps`` data-dependent filter steps inside ONE jit via
     ``lax.scan`` — one dispatch, one block.  This is immune to async-dispatch
     accounting artifacts (this container's remote-TPU runtime can report
     chained out-of-jit dispatches complete early, inflating naive loop
-    timings by >100x)."""
+    timings by >100x).  ``num_steps`` must be large: each dispatch through
+    the remote tunnel carries ~50-80 ms of constant overhead (measured by a
+    K-sweep: K=5 -> 21.1 ms/step, K=20 -> 8.5, K=100 -> 6.4), so small K
+    inflates the per-step figure."""
     import jax
     import jax.numpy as jnp
 

@@ -112,8 +112,11 @@ class FastSLAMConfig:
     # floors keeping the motion prior invertible despite the reference's
     # rotation-XOR-translation noise structure.  These also set how much the
     # measurements may correct the pose per tick in directions the reference
-    # noise model claims are noiseless (lateral, heading-on-translation-ticks)
-    # — too tight and the proposal fights its own corrections.
+    # noise model claims are noiseless (lateral, heading-on-translation-ticks).
+    # TUNE TO THE REAL ODOMETRY ERROR: with near-exact odometry (clean sim)
+    # tight floors win (0.0003 -> ATE 0.017 on the seed-3 probe); under
+    # ~0.02/tick wheel slip the 0.01 default wins (fs2 0.160 vs motion-only
+    # 0.221).  Floors far from the true error hurt either way.
     proposal_xy_floor: float = 0.01
     proposal_theta_floor: float = 0.01
 

@@ -22,21 +22,26 @@ from typing import Optional
 import jax
 import numpy as np
 
-from fastslam_tpu.core.state import FilterState
+from fastslam_tpu.core.state import FilterState, PlanesState
 
 _FORMAT_VERSION = 1
 
+_PLANE_FIELDS = ("lm_mx", "lm_my", "lm_ca", "lm_cb", "lm_cc", "lm_cd")
 
-def save_checkpoint(path: str, state: FilterState, *, iteration: int = 0,
+
+def save_checkpoint(path: str, state, *, iteration: int = 0,
                     robot_pose=None, extra: Optional[dict] = None) -> None:
-    """Atomically write the full filter + loop state."""
+    """Atomically write the full filter + loop state.
+
+    Accepts either layout: a :class:`FilterState` ([P, L, k] blocks) or a
+    :class:`PlanesState` ([L, P] planes — saved natively, no conversion);
+    :func:`load_checkpoint` restores whichever was saved.
+    """
     key_data = jax.random.key_data(state.rng)
     arrays = {
         "format_version": np.int32(_FORMAT_VERSION),
         "poses": np.asarray(state.poses),
         "log_weights": np.asarray(state.log_weights),
-        "lm_mean": np.asarray(state.lm_mean),
-        "lm_cov": np.asarray(state.lm_cov),
         "lm_count": np.asarray(state.lm_count),
         "rng_key_data": np.asarray(key_data),
         "iteration": np.int64(iteration),
@@ -44,6 +49,13 @@ def save_checkpoint(path: str, state: FilterState, *, iteration: int = 0,
             robot_pose if robot_pose is not None else np.zeros(3)
         ),
     }
+    if isinstance(state, PlanesState):
+        arrays["layout"] = np.asarray("planes")
+        for f in _PLANE_FIELDS:
+            arrays[f] = np.asarray(getattr(state, f))
+    else:
+        arrays["lm_mean"] = np.asarray(state.lm_mean)
+        arrays["lm_cov"] = np.asarray(state.lm_cov)
     if extra:
         for k, v in extra.items():
             arrays["extra_" + k] = np.asarray(v)
@@ -70,14 +82,23 @@ def load_checkpoint(path: str):
     import jax.numpy as jnp
 
     rng = jax.random.wrap_key_data(jnp.asarray(z["rng_key_data"]))
-    state = FilterState(
-        poses=jnp.asarray(z["poses"]),
-        log_weights=jnp.asarray(z["log_weights"]),
-        lm_mean=jnp.asarray(z["lm_mean"]),
-        lm_cov=jnp.asarray(z["lm_cov"]),
-        lm_count=jnp.asarray(z["lm_count"]),
-        rng=rng,
-    )
+    if "layout" in z.files and str(z["layout"]) == "planes":
+        state = PlanesState(
+            poses=jnp.asarray(z["poses"]),
+            log_weights=jnp.asarray(z["log_weights"]),
+            lm_count=jnp.asarray(z["lm_count"]),
+            rng=rng,
+            **{f: jnp.asarray(z[f]) for f in _PLANE_FIELDS},
+        )
+    else:
+        state = FilterState(
+            poses=jnp.asarray(z["poses"]),
+            log_weights=jnp.asarray(z["log_weights"]),
+            lm_mean=jnp.asarray(z["lm_mean"]),
+            lm_cov=jnp.asarray(z["lm_cov"]),
+            lm_count=jnp.asarray(z["lm_count"]),
+            rng=rng,
+        )
     meta = {
         "iteration": int(z["iteration"]),
         "robot_pose": np.asarray(z["robot_pose"]),

