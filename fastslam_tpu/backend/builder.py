@@ -56,6 +56,88 @@ def _greedy_associate(
     return landmarks, obs_lm, keep
 
 
+def _associate_by_ids(
+    kf: np.ndarray,
+    obs_kf: np.ndarray,
+    obs_rb: np.ndarray,
+    track_ids: np.ndarray,
+    max_landmarks: int,
+):
+    """Landmark identity from persistent tracker ids: one graph landmark per
+    distinct id (first-seen order), initialized at the mean of that id's
+    world-projected observations.  Same return shape as _greedy_associate."""
+    landmarks: List[np.ndarray] = []
+    counts: List[int] = []
+    id_to_lm: dict = {}
+    obs_lm = np.zeros(len(obs_kf), np.int32)
+    keep = np.zeros(len(obs_kf), bool)
+    for i, (k_idx, (dist, bearing), tid) in enumerate(
+        zip(obs_kf, obs_rb, track_ids)
+    ):
+        if tid < 0:
+            continue
+        wx = kf[k_idx, 0] + dist * np.cos(kf[k_idx, 2] + bearing)
+        wy = kf[k_idx, 1] + dist * np.sin(kf[k_idx, 2] + bearing)
+        w = np.array([wx, wy])
+        j = id_to_lm.get(int(tid), -1)
+        if j < 0:
+            if len(landmarks) >= max_landmarks:
+                continue
+            j = len(landmarks)
+            id_to_lm[int(tid)] = j
+            landmarks.append(w.copy())
+            counts.append(1)
+        else:
+            counts[j] += 1
+            landmarks[j] += (w - landmarks[j]) / counts[j]  # running mean
+        obs_lm[i] = j
+        keep[i] = True
+    return landmarks, obs_lm, keep
+
+
+def reinit_landmarks(
+    graph: PoseGraph,
+    optimized_poses: np.ndarray,
+) -> PoseGraph:
+    """Identity-preserving landmark re-initialization from optimized poses.
+
+    The tracking-mode analog of :func:`reassociate_pose_graph`: landmark
+    *identities* (``obs_lm``) are already right — they came from the
+    persistent corner tracker — but the landmark *positions* were initialized
+    by world-projecting observations from the drifted input trajectory, which
+    under heavy drift leaves the optimizer in a local minimum.  Re-projecting
+    every factor from the optimized poses and re-averaging per landmark gives
+    the next round a consistent initialization.  Odometry factors, the prior,
+    and all factor payloads are unchanged.
+    """
+    import jax.numpy as jnp
+
+    kf = np.asarray(optimized_poses, np.float64)
+    valid = np.asarray(graph.obs_valid)
+    obs_kf = np.asarray(graph.obs_kf)
+    obs_lm = np.asarray(graph.obs_lm)
+    obs_rb = np.asarray(graph.obs_rb, np.float64)
+    max_landmarks = graph.landmarks.shape[0]
+
+    sums = np.zeros((max_landmarks, 2))
+    counts = np.zeros(max_landmarks)
+    for i in np.flatnonzero(valid):
+        k_idx, j = obs_kf[i], obs_lm[i]
+        dist, bearing = obs_rb[i]
+        sums[j, 0] += kf[k_idx, 0] + dist * np.cos(kf[k_idx, 2] + bearing)
+        sums[j, 1] += kf[k_idx, 1] + dist * np.sin(kf[k_idx, 2] + bearing)
+        counts[j] += 1
+
+    lm_arr = np.asarray(graph.landmarks, np.float64).copy()
+    seen = counts > 0
+    lm_arr[seen] = sums[seen] / counts[seen, None]
+
+    return graph._replace(
+        poses=jnp.asarray(kf.astype(np.float32)),
+        landmarks=jnp.asarray(lm_arr.astype(np.float32)),
+    )
+
+
 def reassociate_pose_graph(
     graph: PoseGraph,
     optimized_poses: np.ndarray,
@@ -111,6 +193,7 @@ def build_pose_graph(
     keyframe_poses: np.ndarray,
     measurements: Sequence[np.ndarray],
     *,
+    measurement_ids: Sequence[np.ndarray] | None = None,
     association_gate: float = 0.8,
     max_landmarks: int = 256,
     max_factors: int = 4096,
@@ -125,6 +208,12 @@ def build_pose_graph(
     Args:
       keyframe_poses: ``[K, 3]`` initial pose estimates (e.g. filter output).
       measurements: length-K list of ``[m_k, 2]`` (range, bearing) arrays.
+      measurement_ids: optional length-K list of ``[m_k]`` persistent corner
+        track ids (``frontend/tracking.py``).  When given, landmark identity
+        comes from the tracker — two observations share a graph landmark iff
+        they share a track id — instead of greedy world-frame clustering,
+        which makes loop closures immune to accumulated drift (the tracker
+        established identity frame-to-frame when drift was still tiny).
     """
     import jax.numpy as jnp
 
@@ -147,18 +236,28 @@ def build_pose_graph(
         (k - 1, 1),
     )
 
-    # landmark association by world-frame proximity
-    all_kf, all_rb = [], []
+    # landmark association: tracker identity when given, else world-frame
+    # greedy clustering
+    all_kf, all_rb, all_tid = [], [], []
     for i in range(k):
         ms = np.asarray(measurements[i], np.float64).reshape(-1, 2)
-        for dist, bearing in ms:
+        tids = (np.asarray(measurement_ids[i], np.int64).reshape(-1)
+                if measurement_ids is not None else np.full(len(ms), -1))
+        for (dist, bearing), tid in zip(ms, tids):
             all_kf.append(i)
             all_rb.append([dist, bearing])
+            all_tid.append(tid)
     all_kf = np.asarray(all_kf, np.int32).reshape(-1)
     all_rb = np.asarray(all_rb, np.float64).reshape(-1, 2)
-    landmarks, lm_ids, kept = _greedy_associate(
-        kf, all_kf, all_rb, association_gate, max_landmarks
-    )
+
+    if measurement_ids is not None:
+        landmarks, lm_ids, kept = _associate_by_ids(
+            kf, all_kf, all_rb, np.asarray(all_tid, np.int64), max_landmarks
+        )
+    else:
+        landmarks, lm_ids, kept = _greedy_associate(
+            kf, all_kf, all_rb, association_gate, max_landmarks
+        )
     obs_kf = all_kf[kept].tolist()
     obs_lm = lm_ids[kept].tolist()
     obs_rb = all_rb[kept].tolist()
