@@ -384,6 +384,8 @@ def fastslam2_propose(
     measurements: Measurements,
     noise: jax.Array,
     config: FastSLAMConfig,
+    xy_floor: jax.Array | None = None,
+    theta_floor: jax.Array | None = None,
 ) -> Tuple[FilterState, jax.Array]:
     """Sample particle poses from the measurement-informed posterior.
 
@@ -405,6 +407,9 @@ def fastslam2_propose(
 
     Args:
       noise: ``[P, 3]`` standard-normal draws for the pose sample.
+      xy_floor/theta_floor: optional TRACED overrides of the config floors —
+        the adaptive-floor path feeds the online ICP-vs-command residual
+        estimate here without recompiling (config floors are static).
 
     Returns ``(state with new poses and updated log-weights, pose_pred)``.
     """
@@ -420,8 +425,9 @@ def fastslam2_propose(
 
     # motion prior covariance in pose space: translation noise along the
     # heading, rotation noise on theta, with floors for invertibility
-    fxy = config.proposal_xy_floor ** 2
-    fth = config.proposal_theta_floor ** 2
+    fxy = (config.proposal_xy_floor if xy_floor is None else xy_floor) ** 2
+    fth = (config.proposal_theta_floor if theta_floor is None
+           else theta_floor) ** 2
     s_t2 = jnp.where(rotating, 0.0, config.translation_noise ** 2) + fxy
     s_r2 = jnp.where(rotating, config.rotation_noise ** 2, 0.0) + fth
     cy = jnp.cos(yaw_pred)
@@ -669,10 +675,14 @@ def fastslam_step(
     translation: jax.Array,
     measurements: Measurements,
     config: FastSLAMConfig,
+    proposal_floors: Tuple[jax.Array, jax.Array] | None = None,
 ) -> Tuple[FilterState, jax.Array]:
     """One full filter iteration == reference ``FastSLAM2.iterate``
     (``fast_slam_2.py:33-67``): propagate, per-measurement EKF updates,
     normalize, Neff, conditional systematic resampling, pose estimate.
+
+    ``proposal_floors`` optionally overrides the fastslam2 proposal's
+    (xy, theta) floors with traced values (adaptive-floor path).
 
     Returns ``(new_state, estimated_pose [3])``.
     """
@@ -685,8 +695,10 @@ def fastslam_step(
         # measurement evidence, so the landmark EKF pass skips weighting
         noise = jax.random.normal(k_rot, (p, 3), dtype=dt)
         state = state._replace(rng=rng)
+        fxy, fth = proposal_floors if proposal_floors is not None else (None, None)
         state, _ = fastslam2_propose(
-            state, rotation, translation, measurements, noise, config
+            state, rotation, translation, measurements, noise, config,
+            xy_floor=fxy, theta_floor=fth,
         )
         state = update_particles(state, measurements, config, update_weights=False)
     else:
@@ -806,3 +818,103 @@ def fastslam_step_planes(
     )
     best = jnp.argmax(state.log_weights)
     return state, state.poses[best]
+
+
+def fastslam_steps_planes_chunked(
+    state: PlanesState,
+    rotations: jax.Array,     # [C] per-tick odometry
+    translations: jax.Array,  # [C]
+    measurements: Measurements,  # range_bearing [C, M, 2], valid [C, M]
+    config: FastSLAMConfig,
+    *,
+    assoc_bf16: bool = False,
+) -> Tuple[PlanesState, jax.Array]:
+    """C filter ticks in ONE fused kernel invocation (production mode only).
+
+    The landmark planes stay VMEM-resident across the whole chunk, so the
+    six-plane HBM stream — the per-tick fixed cost of
+    :func:`fastslam_step_planes` (~300 MB/tick at P=100k, L=64) — is paid
+    once per chunk instead of once per tick.  Semantics vs the per-tick step:
+
+    * Propagation and the measurement update are the same math (the kernel
+      shares :func:`~fastslam_tpu.core.pallas_kernels._apply_measurement`
+      with the per-tick kernel); in-kernel propagation advances (cos yaw,
+      sin yaw) by angle addition, float-equal to the per-tick path within
+      ~1 ulp/tick rather than bit-identical.
+    * Weight normalization, Neff, and systematic resampling run at CHUNK
+      boundaries only — within a chunk log-weights accumulate unnormalized
+      (numerically stable in log space; normalization only shifts all
+      particles equally).  A mid-chunk Neff collapse is therefore acted on
+      up to C-1 ticks late; choose C accordingly (4-16 is a good range —
+      the eval suite's chunked rows track the accuracy cost).
+    * Per-tick pose estimates come from the per-tick argmax of the
+      accumulated log-weights (normalization-invariant), BEFORE the
+      chunk-boundary resample — identical to the per-tick estimate except on
+      the exact tick a resample would have fired.
+
+    The RNG stream differs from the per-tick step (one split per chunk, not
+    per tick).  Parity mode must use :func:`fastslam_step_planes`.
+
+    Returns ``(new_state, per-tick estimated poses [C, 3])``.
+    """
+    if config.parity_mode:
+        raise NotImplementedError(
+            "chunked execution is a production-mode feature; parity mode "
+            "resamples per tick (fast_slam_2.py:62) — use fastslam_step_planes"
+        )
+    if config.proposal_mode == "fastslam2":
+        raise NotImplementedError(
+            "chunked step supports the motion-model proposal"
+        )
+    from fastslam_tpu.core.pallas_kernels import fused_update_planes_multi
+
+    rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
+    p = state.num_particles
+    c = rotations.shape[0]
+    dt = state.poses.dtype
+
+    # reference motion structure (fast_slam_2.py:77-82): per tick, EITHER
+    # rotation with rotation noise OR translation with translation noise
+    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (c, p), dtype=dt)
+    trans_noise = config.translation_noise * jax.random.normal(
+        k_trans, (c, p), dtype=dt
+    )
+    rotating = (rotations != 0.0)[:, None]
+    noisy_rot = jnp.where(rotating, rotations[:, None] + rot_noise, 0.0)
+    noisy_trans = jnp.where(rotating, 0.0, translations[:, None] + trans_noise)
+
+    tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = fused_update_planes_multi(
+        state.poses, state.log_weights,
+        state.lm_mx, state.lm_my, state.lm_ca, state.lm_cb,
+        state.lm_cc, state.lm_cd, state.lm_count,
+        measurements.range_bearing, measurements.valid,
+        noisy_rot, noisy_trans, config,
+        interpret=config.pallas_interpret, assoc_bf16=assoc_bf16,
+    )
+
+    # per-tick pose estimates: argmax of the (unnormalized) per-tick weights
+    best = jnp.argmax(tlogw, axis=1)                            # [C]
+    ticks = jnp.arange(c)
+    est = jnp.stack(
+        [tx[ticks, best], ty[ticks, best], tyaw[ticks, best]], axis=-1
+    )
+
+    log_w = normalize_log_weights(tlogw[c - 1], config)
+    state = state._replace(
+        poses=jnp.stack([tx[c - 1], ty[c - 1], tyaw[c - 1]], axis=-1),
+        log_weights=log_w,
+        lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb, lm_cc=cc, lm_cd=cd,
+        lm_count=cnt, rng=rng,
+    )
+
+    neff = effective_particles(log_w, config)
+    u0 = jax.random.uniform(k_u, (), dtype=dt, maxval=1.0 / p)
+
+    def do_resample(s):
+        idx = systematic_resample_indices(jnp.exp(s.log_weights), u0)
+        return resample_planes_state(s, idx, config)
+
+    state = jax.lax.cond(
+        neff < config.resample_threshold_frac * p, do_resample, lambda s: s, state
+    )
+    return state, est

@@ -121,6 +121,190 @@ def _round_up(x: int, m: int) -> int:
 # fused associate + EKF + weight update
 # ---------------------------------------------------------------------------
 
+def _apply_measurement(
+    carry, pose_rows, z_scalars, *,
+    slot, gate, meas_noise, default_cov, parity, assoc_bf16, skip_ekf,
+):
+    """One measurement through association + 2x2 EKF + weighting, on a
+    particle tile in the planes layout.  Shared by the single-tick kernel
+    (:func:`_fused_update_kernel`) and the multi-tick chunked kernel
+    (:func:`_fused_multi_kernel`) — the arithmetic must stay identical.
+
+    carry:      (mx, my, ca, cb, cc, cd [L, T], detp [L, T], cnt, logw [1, T])
+    pose_rows:  (px, py, yaw, cyaw, syaw) as [1, T] rows
+    z_scalars:  (dist_z, bearing_z, cos_b, sin_b, z_ok) SMEM scalars
+    """
+    mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
+    px, py, yaw, cyaw, syaw = pose_rows
+    dist_z, bearing_z, cos_b, sin_b, z_ok = z_scalars
+    l = mx.shape[0]
+
+    # world-frame observation via angle addition (no in-kernel sin/cos):
+    # cos(yaw+b) = cos yaw cos b - sin yaw sin b, etc.
+    wx = px + dist_z * (cyaw * cos_b - syaw * sin_b)   # [1, T]
+    wy = py + dist_z * (syaw * cos_b + cyaw * sin_b)
+    if parity:
+        qx = dist_z * cos_b                      # robot-frame quirk
+        qy = dist_z * sin_b
+        dx_q = mx - qx
+        dy_q = my - qy
+    else:
+        dx_q = mx - wx
+        dy_q = my - wy
+
+    if assoc_bf16:
+        # distance math in bf16: 2x lane density on the dominant [L, T]
+        # ops; the gate boundary blurs by ~0.5% (production mode only)
+        bf = jnp.bfloat16
+        dxb = dx_q.astype(bf)
+        dyb = dy_q.astype(bf)
+        cab, cbb, ccb, cdb = (ca.astype(bf), cb.astype(bf),
+                              cc.astype(bf), cd.astype(bf))
+        d2f = (dxb * (cdb * dxb - cbb * dyb)
+               + dyb * (-ccb * dxb + cab * dyb)).astype(mx.dtype)
+    else:
+        d2f = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
+    usable = detp > 0.0
+
+    if parity:
+        # Mahalanobis^2 gate WITHOUT a [L, T] divide: d2/det < gate^2 with
+        # det > 0  <=>  d2_raw < gate^2 * det.
+        hit = usable & (d2f < (gate * gate) * detp)
+        # first hit: min slot index among hits; a hit exists iff idx < L
+        idx = jnp.min(jnp.where(hit, slot, l), axis=0, keepdims=True)
+        has_match = idx < l                                  # [1, T]
+    else:
+        # best hit via ONE packed min-reduction: the normalized distance's
+        # f32 bit pattern is order-preserving for non-negative values, so
+        # drop its 8 mantissa LSBs, OR the slot index into them, and a
+        # single int32 min yields both the winner's distance *and* its
+        # slot (ties break toward the lower slot).  has_match falls out of
+        # comparing the packed min against gate^2's bit pattern — no `any`
+        # reduction, no hit mask, no second argmin pass.  The 8 dropped
+        # mantissa bits blur the gate boundary by ~2^-15 relative
+        # (production mode only; parity keeps exact semantics above).
+        inv_det = pl.reciprocal(jnp.where(usable, detp, 1.0), approx=True)
+        dist2 = jnp.maximum(d2f * inv_det, 0.0)
+        key = jax.lax.bitcast_convert_type(dist2, jnp.int32)
+        key = jnp.where(usable, (key & ~0xFF) | slot, _INVALID_KEY)
+        kmin = jnp.min(key, axis=0, keepdims=True)           # [1, T]
+        gate_bits = _f32_bits(gate * gate)
+        has_match = kmin <= (((gate_bits - 1) & ~0xFF) | 0xFF)
+        idx = kmin & 0xFF
+    onehot = (slot == idx) & has_match                       # [L, T]
+    oh = onehot.astype(mx.dtype)
+
+    if skip_ekf:
+        # timing experiment: association + append only
+        can_append = cnt < l
+        do_append = (~has_match) & can_append & z_ok
+        app = (slot == cnt) & do_append
+        mx = jnp.where(app, wx, mx)
+        my = jnp.where(app, wy, my)
+        ca = jnp.where(app, default_cov, ca)
+        cd = jnp.where(app, default_cov, cd)
+        detp = jnp.where(app, default_cov * default_cov, detp)
+        cnt = cnt + do_append.astype(jnp.int32)
+        logw = logw + jnp.sum(oh, axis=0, keepdims=True) * 1e-9
+        return mx, my, ca, cb, cc, cd, detp, cnt, logw
+
+    # gather matched slot by one-hot contraction (sublane reduction)
+    mu_x = jnp.sum(mx * oh, axis=0, keepdims=True)           # [1, T]
+    mu_y = jnp.sum(my * oh, axis=0, keepdims=True)
+    a = jnp.sum(ca * oh, axis=0, keepdims=True)
+    b = jnp.sum(cb * oh, axis=0, keepdims=True)
+    c = jnp.sum(cc * oh, axis=0, keepdims=True)
+    d = jnp.sum(cd * oh, axis=0, keepdims=True)
+
+    dx = mu_x - px
+    dy = mu_y - py
+    q = jnp.maximum(dx * dx + dy * dy, 1e-12)
+    rinv = jax.lax.rsqrt(q)           # rsqrt is a fast VPU op; divides are ~10x a mul
+    qinv = rinv * rinv
+    r = q * rinv
+    nu_r = dist_z - r
+    # nu_b = wrap(bearing - (atan2(dy,dx) - yaw)); range < 3*pi
+    nu_b = _wrap_pi(bearing_z + yaw - _atan2(dy, dx))
+
+    h00 = dx * rinv
+    h01 = dy * rinv
+    h10 = -dy * qinv
+    h11 = dx * qinv
+
+    u0 = h00 * a + h01 * c
+    u1 = h00 * b + h01 * d
+    v0 = h10 * a + h11 * c
+    v1 = h10 * b + h11 * d
+    s00 = u0 * h00 + u1 * h01 + meas_noise
+    s01 = u0 * h10 + u1 * h11
+    s10 = v0 * h00 + v1 * h01
+    s11 = v0 * h10 + v1 * h11 + meas_noise
+
+    s_det = s00 * s11 - s01 * s10
+    s_det_safe = jnp.maximum(jnp.abs(s_det), 1e-18) * jnp.sign(s_det + 1e-30)
+    sdi = 1.0 / s_det_safe            # one divide, four multiplies
+    i00 = s11 * sdi
+    i01 = -s01 * sdi
+    i10 = -s10 * sdi
+    i11 = s00 * sdi
+
+    m0 = a * h00 + b * h01
+    m1 = c * h00 + d * h01
+    n0 = a * h10 + b * h11
+    n1 = c * h10 + d * h11
+    k00 = m0 * i00 + n0 * i10
+    k01 = m0 * i01 + n0 * i11
+    k10 = m1 * i00 + n1 * i10
+    k11 = m1 * i01 + n1 * i11
+
+    new_mu_x = mu_x + k00 * nu_r + k01 * nu_b
+    new_mu_y = mu_y + k10 * nu_r + k11 * nu_b
+
+    g00 = 1.0 - (k00 * h00 + k01 * h10)
+    g01 = -(k00 * h01 + k01 * h11)
+    g10 = -(k10 * h00 + k11 * h10)
+    g11 = 1.0 - (k10 * h01 + k11 * h11)
+    new_a = g00 * a + g01 * c
+    new_b = g00 * b + g01 * d
+    new_c = g10 * a + g11 * c
+    new_d = g10 * b + g11 * d
+    if not parity:
+        off = 0.5 * (new_b + new_c)
+        new_b = off
+        new_c = off
+
+    maha = i00 * nu_r * nu_r + (i01 + i10) * nu_r * nu_b + i11 * nu_b * nu_b
+    log_lik = -0.5 * (maha + jnp.log(jnp.maximum(s_det, 1e-30))) - _LOG_TWO_PI
+
+    can_append = cnt < l
+    do_update = has_match & z_ok                              # [1, T]
+    do_append = (~has_match) & can_append & z_ok
+
+    upd = onehot & do_update                                  # [L, T]
+    app = (slot == cnt) & do_append
+
+    mx = jnp.where(upd, new_mu_x, mx)
+    my = jnp.where(upd, new_mu_y, my)
+    ca = jnp.where(upd, new_a, ca)
+    cb = jnp.where(upd, new_b, cb)
+    cc = jnp.where(upd, new_c, cc)
+    cd = jnp.where(upd, new_d, cd)
+    new_det = new_a * new_d - new_b * new_c      # [1, T] row, cheap
+    detp = jnp.where(upd, new_det, detp)
+
+    mx = jnp.where(app, wx, mx)
+    my = jnp.where(app, wy, my)
+    ca = jnp.where(app, default_cov, ca)
+    cb = jnp.where(app, 0.0, cb)
+    cc = jnp.where(app, 0.0, cc)
+    cd = jnp.where(app, default_cov, cd)
+    detp = jnp.where(app, default_cov * default_cov, detp)
+
+    cnt = cnt + do_append.astype(jnp.int32)
+    logw = jnp.where(do_update, logw + log_lik, logw)
+    return mx, my, ca, cb, cc, cd, detp, cnt, logw
+
+
 def _fused_update_kernel(
     # scalar-prefetch
     z_ref,        # [M, 4] SMEM: (distance, bearing, cos(bearing), sin(bearing))
@@ -185,177 +369,15 @@ def _fused_update_kernel(
     detp = jnp.where(slot < cnt, ca * cd - cb * cc, -1.0)
 
     def _measurement_body(m, carry):
-        mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
-        dist_z = z_ref[m, 0]
-        bearing_z = z_ref[m, 1]
-        cos_b = z_ref[m, 2]
-        sin_b = z_ref[m, 3]
-        z_ok = zvalid_ref[m, 0] > 0
-
-        # world-frame observation via angle addition (no in-kernel sin/cos):
-        # cos(yaw+b) = cos yaw cos b - sin yaw sin b, etc.
-        wx = px + dist_z * (cyaw * cos_b - syaw * sin_b)   # [1, T]
-        wy = py + dist_z * (syaw * cos_b + cyaw * sin_b)
-        if parity:
-            qx = dist_z * cos_b                      # robot-frame quirk
-            qy = dist_z * sin_b
-            dx_q = mx - qx
-            dy_q = my - qy
-        else:
-            dx_q = mx - wx
-            dy_q = my - wy
-
-        if assoc_bf16:
-            # distance math in bf16: 2x lane density on the dominant [L, T]
-            # ops; the gate boundary blurs by ~0.5% (production mode only)
-            bf = jnp.bfloat16
-            dxb = dx_q.astype(bf)
-            dyb = dy_q.astype(bf)
-            cab, cbb, ccb, cdb = (ca.astype(bf), cb.astype(bf),
-                                  cc.astype(bf), cd.astype(bf))
-            d2f = (dxb * (cdb * dxb - cbb * dyb)
-                   + dyb * (-ccb * dxb + cab * dyb)).astype(mx.dtype)
-        else:
-            d2f = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
-        usable = detp > 0.0
-
-        if parity:
-            # Mahalanobis^2 gate WITHOUT a [L, T] divide: d2/det < gate^2 with
-            # det > 0  <=>  d2_raw < gate^2 * det.
-            hit = usable & (d2f < (gate * gate) * detp)
-            # first hit: min slot index among hits; a hit exists iff idx < L
-            idx = jnp.min(jnp.where(hit, slot, l), axis=0, keepdims=True)
-            has_match = idx < l                                  # [1, T]
-        else:
-            # best hit via ONE packed min-reduction: the normalized distance's
-            # f32 bit pattern is order-preserving for non-negative values, so
-            # drop its 8 mantissa LSBs, OR the slot index into them, and a
-            # single int32 min yields both the winner's distance *and* its
-            # slot (ties break toward the lower slot).  has_match falls out of
-            # comparing the packed min against gate^2's bit pattern — no `any`
-            # reduction, no hit mask, no second argmin pass.  The 8 dropped
-            # mantissa bits blur the gate boundary by ~2^-15 relative
-            # (production mode only; parity keeps exact semantics above).
-            inv_det = pl.reciprocal(jnp.where(usable, detp, 1.0), approx=True)
-            dist2 = jnp.maximum(d2f * inv_det, 0.0)
-            key = jax.lax.bitcast_convert_type(dist2, jnp.int32)
-            key = jnp.where(usable, (key & ~0xFF) | slot, _INVALID_KEY)
-            kmin = jnp.min(key, axis=0, keepdims=True)           # [1, T]
-            gate_bits = _f32_bits(gate * gate)
-            has_match = kmin <= (((gate_bits - 1) & ~0xFF) | 0xFF)
-            idx = kmin & 0xFF
-        onehot = (slot == idx) & has_match                       # [L, T]
-        oh = onehot.astype(mx.dtype)
-
-        if _skip_ekf:
-            # timing experiment: association + append only
-            can_append = cnt < l
-            do_append = (~has_match) & can_append & z_ok
-            app = (slot == cnt) & do_append
-            mx = jnp.where(app, wx, mx)
-            my = jnp.where(app, wy, my)
-            ca = jnp.where(app, default_cov, ca)
-            cd = jnp.where(app, default_cov, cd)
-            detp = jnp.where(app, default_cov * default_cov, detp)
-            cnt = cnt + do_append.astype(jnp.int32)
-            logw = logw + jnp.sum(oh, axis=0, keepdims=True) * 1e-9
-            return mx, my, ca, cb, cc, cd, detp, cnt, logw
-
-        # gather matched slot by one-hot contraction (sublane reduction)
-        mu_x = jnp.sum(mx * oh, axis=0, keepdims=True)           # [1, T]
-        mu_y = jnp.sum(my * oh, axis=0, keepdims=True)
-        a = jnp.sum(ca * oh, axis=0, keepdims=True)
-        b = jnp.sum(cb * oh, axis=0, keepdims=True)
-        c = jnp.sum(cc * oh, axis=0, keepdims=True)
-        d = jnp.sum(cd * oh, axis=0, keepdims=True)
-
-        dx = mu_x - px
-        dy = mu_y - py
-        q = jnp.maximum(dx * dx + dy * dy, 1e-12)
-        rinv = jax.lax.rsqrt(q)           # rsqrt is a fast VPU op; divides are ~10x a mul
-        qinv = rinv * rinv
-        r = q * rinv
-        nu_r = dist_z - r
-        # nu_b = wrap(bearing - (atan2(dy,dx) - yaw)); range < 3*pi
-        nu_b = _wrap_pi(bearing_z + yaw - _atan2(dy, dx))
-
-        h00 = dx * rinv
-        h01 = dy * rinv
-        h10 = -dy * qinv
-        h11 = dx * qinv
-
-        u0 = h00 * a + h01 * c
-        u1 = h00 * b + h01 * d
-        v0 = h10 * a + h11 * c
-        v1 = h10 * b + h11 * d
-        s00 = u0 * h00 + u1 * h01 + meas_noise
-        s01 = u0 * h10 + u1 * h11
-        s10 = v0 * h00 + v1 * h01
-        s11 = v0 * h10 + v1 * h11 + meas_noise
-
-        s_det = s00 * s11 - s01 * s10
-        s_det_safe = jnp.maximum(jnp.abs(s_det), 1e-18) * jnp.sign(s_det + 1e-30)
-        sdi = 1.0 / s_det_safe            # one divide, four multiplies
-        i00 = s11 * sdi
-        i01 = -s01 * sdi
-        i10 = -s10 * sdi
-        i11 = s00 * sdi
-
-        m0 = a * h00 + b * h01
-        m1 = c * h00 + d * h01
-        n0 = a * h10 + b * h11
-        n1 = c * h10 + d * h11
-        k00 = m0 * i00 + n0 * i10
-        k01 = m0 * i01 + n0 * i11
-        k10 = m1 * i00 + n1 * i10
-        k11 = m1 * i01 + n1 * i11
-
-        new_mu_x = mu_x + k00 * nu_r + k01 * nu_b
-        new_mu_y = mu_y + k10 * nu_r + k11 * nu_b
-
-        g00 = 1.0 - (k00 * h00 + k01 * h10)
-        g01 = -(k00 * h01 + k01 * h11)
-        g10 = -(k10 * h00 + k11 * h10)
-        g11 = 1.0 - (k10 * h01 + k11 * h11)
-        new_a = g00 * a + g01 * c
-        new_b = g00 * b + g01 * d
-        new_c = g10 * a + g11 * c
-        new_d = g10 * b + g11 * d
-        if not parity:
-            off = 0.5 * (new_b + new_c)
-            new_b = off
-            new_c = off
-
-        maha = i00 * nu_r * nu_r + (i01 + i10) * nu_r * nu_b + i11 * nu_b * nu_b
-        log_lik = -0.5 * (maha + jnp.log(jnp.maximum(s_det, 1e-30))) - _LOG_TWO_PI
-
-        can_append = cnt < l
-        do_update = has_match & z_ok                              # [1, T]
-        do_append = (~has_match) & can_append & z_ok
-
-        upd = onehot & do_update                                  # [L, T]
-        app = (slot == cnt) & do_append
-
-        mx = jnp.where(upd, new_mu_x, mx)
-        my = jnp.where(upd, new_mu_y, my)
-        ca = jnp.where(upd, new_a, ca)
-        cb = jnp.where(upd, new_b, cb)
-        cc = jnp.where(upd, new_c, cc)
-        cd = jnp.where(upd, new_d, cd)
-        new_det = new_a * new_d - new_b * new_c      # [1, T] row, cheap
-        detp = jnp.where(upd, new_det, detp)
-
-        mx = jnp.where(app, wx, mx)
-        my = jnp.where(app, wy, my)
-        ca = jnp.where(app, default_cov, ca)
-        cb = jnp.where(app, 0.0, cb)
-        cc = jnp.where(app, 0.0, cc)
-        cd = jnp.where(app, default_cov, cd)
-        detp = jnp.where(app, default_cov * default_cov, detp)
-
-        cnt = cnt + do_append.astype(jnp.int32)
-        logw = jnp.where(do_update, logw + log_lik, logw)
-        return mx, my, ca, cb, cc, cd, detp, cnt, logw
+        return _apply_measurement(
+            carry,
+            (px, py, yaw, cyaw, syaw),
+            (z_ref[m, 0], z_ref[m, 1], z_ref[m, 2], z_ref[m, 3],
+             zvalid_ref[m, 0] > 0),
+            slot=slot, gate=gate, meas_noise=meas_noise,
+            default_cov=default_cov, parity=parity, assoc_bf16=assoc_bf16,
+            skip_ekf=_skip_ekf,
+        )
 
     # dynamic trip count: stop after the last valid measurement (padded
     # masks are packed-first, so this skips the tail for free)
@@ -523,6 +545,253 @@ def fused_update_planes(
     )
     logw, mx, my, ca, cb, cc, cd, cnt = outs
     return (logw.reshape(p), mx, my, ca, cb, cc, cd, cnt.reshape(p))
+
+
+# ---------------------------------------------------------------------------
+# multi-tick (chunked) fused update: C ticks per kernel invocation
+# ---------------------------------------------------------------------------
+
+def _fused_multi_kernel(
+    # scalar-prefetch
+    z_ref,        # [C*M, 4] SMEM: (distance, bearing, cos(bearing), sin(bearing))
+    zvalid_ref,   # [C*M, 1] SMEM int32
+    mlast_ref,    # [C] SMEM int32: per-tick last valid measurement index + 1
+    # inputs (VMEM tiles)
+    px_ref, py_ref, yaw_ref, cy_ref, sy_ref,     # [1, T] initial pose rows
+    logw_in,                                     # [1, T]
+    nrot_ref, ntrans_ref, cnr_ref, snr_ref,      # [Cp, T] per-tick motion rows
+    mx_in, my_in, ca_in, cb_in, cc_in, cd_in,    # [L, T]
+    cnt_in,                                      # [1, T] int32
+    # outputs
+    tx_out, ty_out, tyaw_out, tlogw_out,         # [Cp, T] per-tick trajectories
+    mx_out, my_out, ca_out, cb_out, cc_out, cd_out,  # [L, T] final planes
+    cnt_out,                                     # [1, T]
+    *,
+    num_ticks: int,
+    num_measurements: int,
+    gate: float,
+    meas_noise: float,
+    default_cov: float,
+    parity: bool,
+    assoc_bf16: bool = False,
+):
+    """C full filter ticks (propagate + measurement loop) on one particle
+    tile with the landmark planes resident in VMEM throughout.
+
+    The single-tick kernel streams the six [L, P] landmark planes from HBM
+    and back every tick (~300 MB at P=100k, L=64) — the step's dominant
+    fixed cost.  Running C ticks per invocation amortizes that stream C-fold;
+    the only per-tick HBM traffic is four [1, P] motion rows in and four
+    [1, P] trajectory rows out (~3 MB/tick).
+
+    In-kernel propagation needs cos/sin of the evolving yaw, which Mosaic
+    cannot lower — so the per-tick noisy rotation's exact cos/sin are
+    computed OUTSIDE (XLA, [C, P] arrays) and the carried (cos yaw, sin yaw)
+    rows advance by the angle-addition identities, renormalized each tick
+    (rsqrt) so the unit circle drift stays at rounding level.  This makes
+    chunked propagation float-equal to the per-tick path up to ~1 ulp per
+    tick, not bit-identical — chunked execution is a production-mode feature
+    (parity mode keeps the exact per-tick reference semantics).
+
+    Weight normalization, Neff, and resampling happen OUTSIDE at chunk
+    boundaries only: log-weights accumulate stably without per-tick
+    normalization (it only shifts all particles equally), and the per-tick
+    argmax pose estimate is normalization-invariant, so the only semantic
+    difference from the per-tick path is the resampling cadence (every C
+    ticks instead of every tick when Neff dips).
+    """
+    l, t = mx_in.shape
+    px = px_ref[:, :]
+    py = py_ref[:, :]
+    yaw = yaw_ref[:, :]
+    cyaw = cy_ref[:, :]
+    syaw = sy_ref[:, :]
+    logw = logw_in[:, :]
+
+    mx = mx_in[:, :]
+    my = my_in[:, :]
+    ca = ca_in[:, :]
+    cb = cb_in[:, :]
+    cc = cc_in[:, :]
+    cd = cd_in[:, :]
+    cnt = cnt_in[:, :]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (l, t), 0)
+    detp = jnp.where(slot < cnt, ca * cd - cb * cc, -1.0)
+
+    def tick_body(k, carry):
+        px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
+
+        # ---- propagate (reference fast_slam_2.py:69-87 semantics) ----
+        nrot = nrot_ref[pl.ds(k, 1), :]          # [1, T]
+        ntrans = ntrans_ref[pl.ds(k, 1), :]
+        cnr = cnr_ref[pl.ds(k, 1), :]            # cos(nrot), exact (from XLA)
+        snr = snr_ref[pl.ds(k, 1), :]
+        yaw = _wrap_pi(yaw + nrot)
+        cyaw, syaw = cyaw * cnr - syaw * snr, syaw * cnr + cyaw * snr
+        # renormalize the carried unit vector (angle-addition rounding drift)
+        inv_n = jax.lax.rsqrt(cyaw * cyaw + syaw * syaw)
+        cyaw = cyaw * inv_n
+        syaw = syaw * inv_n
+        px = px + ntrans * cyaw                  # translation along NEW heading
+        py = py + ntrans * syaw
+
+        # ---- measurement loop (dynamic trip count for this tick) ----
+        def _measurement_body(m, mcarry):
+            zi = k * num_measurements + m
+            return _apply_measurement(
+                mcarry,
+                (px, py, yaw, cyaw, syaw),
+                (z_ref[zi, 0], z_ref[zi, 1], z_ref[zi, 2], z_ref[zi, 3],
+                 zvalid_ref[zi, 0] > 0),
+                slot=slot, gate=gate, meas_noise=meas_noise,
+                default_cov=default_cov, parity=parity,
+                assoc_bf16=assoc_bf16, skip_ekf=False,
+            )
+
+        mx, my, ca, cb, cc, cd, detp, cnt, logw = jax.lax.fori_loop(
+            0, jnp.minimum(mlast_ref[k], num_measurements), _measurement_body,
+            (mx, my, ca, cb, cc, cd, detp, cnt, logw),
+        )
+
+        # ---- per-tick trajectory rows ----
+        tx_out[pl.ds(k, 1), :] = px
+        ty_out[pl.ds(k, 1), :] = py
+        tyaw_out[pl.ds(k, 1), :] = yaw
+        tlogw_out[pl.ds(k, 1), :] = logw
+
+        return px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw
+
+    (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw) = (
+        jax.lax.fori_loop(
+            0, num_ticks, tick_body,
+            (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw),
+        )
+    )
+
+    mx_out[:, :] = mx
+    my_out[:, :] = my
+    ca_out[:, :] = ca
+    cb_out[:, :] = cb
+    cc_out[:, :] = cc
+    cd_out[:, :] = cd
+    cnt_out[:, :] = cnt
+
+
+def fused_update_planes_multi(
+    poses: jax.Array,        # [P, 3]
+    log_weights: jax.Array,  # [P]
+    lm_mx: jax.Array,        # [L, P]
+    lm_my: jax.Array,
+    lm_ca: jax.Array,
+    lm_cb: jax.Array,
+    lm_cc: jax.Array,
+    lm_cd: jax.Array,
+    lm_count: jax.Array,     # [P] int32
+    z: jax.Array,            # [C, M, 2]
+    z_valid: jax.Array,      # [C, M] bool
+    noisy_rot: jax.Array,    # [C, P] per-tick per-particle rotation increment
+    noisy_trans: jax.Array,  # [C, P] per-tick per-particle translation
+    config: FastSLAMConfig,
+    *,
+    interpret: bool = False,
+    assoc_bf16: bool = False,
+):
+    """C chunked filter ticks with VMEM-resident landmark planes.
+
+    ``noisy_rot``/``noisy_trans`` are the fully-formed per-tick motion
+    increments (command + pre-scaled noise, with the reference's
+    rotation-XOR-translation structure already applied — see
+    :func:`~fastslam_tpu.core.kernels.fastslam_steps_planes_chunked`).
+
+    Returns ``(tx, ty, tyaw, tlogw  [C, P] per-tick trajectories,
+    mx, my, ca, cb, cc, cd [L, P], lm_count [P])``.
+    """
+    l, p = lm_mx.shape
+    c, m = z.shape[0], z.shape[1]
+    if not config.parity_mode and l > 256:
+        raise ValueError("packed argmin supports at most 256 landmark slots")
+    if p < 128:
+        tile = p
+    elif p % 128:
+        raise ValueError(
+            f"planes particle count {p} must be a multiple of 128"
+        )
+    else:
+        tile = _lane_tile(p)
+        while p % tile:
+            tile -= 128
+    grid = (p // tile,)
+    dt = lm_mx.dtype
+
+    # per-tick [C, P] blocks tile the sublane axis in multiples of 8
+    cp = _round_up(c, 8)
+    pad_c = lambda x: jnp.pad(x, ((0, cp - c), (0, 0))) if cp != c else x
+
+    row = lambda x: x.reshape(1, p)
+    plane = pl.BlockSpec((l, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    tickspec = pl.BlockSpec((cp, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _fused_multi_kernel,
+        num_ticks=c,
+        num_measurements=m,
+        gate=float(config.max_landmark_distance),
+        meas_noise=float(config.measurement_noise),
+        default_cov=float(config.default_landmark_cov),
+        parity=bool(config.parity_mode),
+        assoc_bf16=assoc_bf16,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[rowspec] * 6 + [tickspec] * 4 + [plane] * 6 + [rowspec],
+        out_specs=[tickspec] * 4 + [plane] * 6 + [rowspec],
+    )
+
+    out_shapes = (
+        *([jax.ShapeDtypeStruct((cp, p), dt)] * 4),   # tx ty tyaw tlogw
+        *([jax.ShapeDtypeStruct((l, p), dt)] * 6),    # mx my ca cb cc cd
+        jax.ShapeDtypeStruct((1, p), jnp.int32),      # cnt
+    )
+
+    zf = z.reshape(c * m, 2)
+    z_aug = jnp.concatenate(
+        [zf.astype(dt), jnp.cos(zf[:, 1:2]).astype(dt),
+         jnp.sin(zf[:, 1:2]).astype(dt)],
+        axis=1,
+    )
+    # per-tick dynamic trip counts: last valid measurement index + 1
+    mlast = jnp.max(
+        jnp.where(z_valid, jnp.arange(1, m + 1, dtype=jnp.int32)[None, :], 0),
+        axis=1,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        z_aug,
+        z_valid.astype(jnp.int32).reshape(c * m, 1),
+        mlast,
+        row(poses[:, 0]), row(poses[:, 1]), row(poses[:, 2]),
+        row(jnp.cos(poses[:, 2])), row(jnp.sin(poses[:, 2])),
+        row(log_weights),
+        pad_c(noisy_rot.astype(dt)), pad_c(noisy_trans.astype(dt)),
+        pad_c(jnp.cos(noisy_rot).astype(dt)), pad_c(jnp.sin(noisy_rot).astype(dt)),
+        lm_mx, lm_my, lm_ca, lm_cb, lm_cc, lm_cd,
+        row(lm_count),
+    )
+    tx, ty, tyaw, tlogw = (o[:c] for o in outs[:4])
+    mx, my, ca, cb, cc, cd, cnt = outs[4:]
+    return tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt.reshape(p)
 
 
 # ---------------------------------------------------------------------------

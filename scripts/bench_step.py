@@ -38,7 +38,13 @@ def main():
     ap.add_argument("--production", action="store_true",
                     help="production math (packed-argmin association) "
                          "instead of reference-parity quirks")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="ticks per kernel invocation (chunked planes step; "
+                         "implies --planes --production)")
     args = ap.parse_args()
+    if args.chunk:
+        args.planes = True
+        args.production = True
 
     import jax
 
@@ -66,7 +72,25 @@ def main():
         cfg, [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(n_valid)]
     )
 
-    if args.planes and args.fused_only:
+    if args.chunk:
+        from fastslam_tpu.core.kernels import fastslam_steps_planes_chunked
+        from fastslam_tpu.core.state import Measurements, init_planes_state
+
+        st = init_planes_state(cfg, rng=0)
+        c = args.chunk
+        rots = jnp.zeros(c, jnp.float32)
+        trans = jnp.full(c, 0.4, jnp.float32)
+        ms_c = Measurements(
+            jnp.tile(ms.range_bearing[None], (c, 1, 1)),
+            jnp.tile(ms.valid[None], (c, 1)),
+        )
+
+        def body(s, _):
+            s, est = fastslam_steps_planes_chunked(
+                s, rots, trans, ms_c, cfg, assoc_bf16=args.bf16_assoc
+            )
+            return s, est[-1]
+    elif args.planes and args.fused_only:
         from fastslam_tpu.core.pallas_kernels import fused_update_planes
         from fastslam_tpu.core.state import init_planes_state
 
@@ -125,10 +149,12 @@ def main():
     t0 = time.perf_counter()
     st3, poses = multi(st2)  # donates st2
     jax.block_until_ready(st3)
-    dt = (time.perf_counter() - t0) / args.k
+    ticks_per_scan_step = args.chunk if args.chunk else 1
+    dt = (time.perf_counter() - t0) / (args.k * ticks_per_scan_step)
 
     print(json.dumps({
-        "path": ("planes" if args.planes else
+        "path": (f"chunked{args.chunk}" if args.chunk else
+                 "planes" if args.planes else
                  "pallas" if args.pallas else "scan")
                 + ("+bf16" if args.bf16_assoc else "")
                 + ("+noekf" if args.skip_ekf else "")

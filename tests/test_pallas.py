@@ -148,3 +148,147 @@ def test_icp_correspondences_match_dense_nn():
     )
     np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_want))
     np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_want), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# multi-tick (chunked) kernel
+# ---------------------------------------------------------------------------
+
+def _planes_from_state(st):
+    from fastslam_tpu.core.state import to_planes
+
+    return to_planes(st)
+
+
+def _sequential_reference(ps, noisy_rot, noisy_trans, z, z_valid, cfg):
+    """Per-tick composition the chunked kernel must match: explicit
+    propagation (reference rotation-XOR-translation order) followed by the
+    single-tick fused planes update, landmark planes streamed every tick."""
+    from fastslam_tpu.core.pallas_kernels import fused_update_planes
+
+    poses, logw = ps.poses, ps.log_weights
+    mx, my, ca, cb, cc, cd, cnt = (ps.lm_mx, ps.lm_my, ps.lm_ca, ps.lm_cb,
+                                   ps.lm_cc, ps.lm_cd, ps.lm_count)
+    est = []
+    for k in range(z.shape[0]):
+        yaw = kernels.wrap_angle(poses[:, 2] + noisy_rot[k])
+        x = poses[:, 0] + noisy_trans[k] * jnp.cos(yaw)
+        y = poses[:, 1] + noisy_trans[k] * jnp.sin(yaw)
+        poses = jnp.stack([x, y, yaw], axis=-1)
+        logw, mx, my, ca, cb, cc, cd, cnt = fused_update_planes(
+            poses, logw, mx, my, ca, cb, cc, cd, cnt,
+            z[k], z_valid[k], cfg, interpret=True,
+        )
+        est.append((x, y, yaw, logw))
+    return est, (mx, my, ca, cb, cc, cd, cnt)
+
+
+@pytest.mark.parametrize("c", [1, 4])
+def test_chunked_kernel_matches_sequential(c):
+    """C ticks inside one kernel == C single-tick kernel invocations with the
+    same noise draws (production mode; appends, EKF updates, and invalid
+    measurements all crossing tick boundaries)."""
+    from fastslam_tpu.core.pallas_kernels import fused_update_planes_multi
+
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=8, max_measurements=4,
+        parity_mode=False, use_pallas=True, pallas_interpret=True,
+    )
+    st = build_state(cfg, seed=11, fill=2)
+    ps = _planes_from_state(st)
+    rng = np.random.default_rng(12)
+
+    # per-tick measurements: mix of updates, appends, and padded slots
+    z = rng.uniform(0.5, 6.0, (c, 4, 2)).astype(np.float32)
+    z[..., 1] = rng.uniform(-3.0, 3.0, (c, 4))
+    z_valid = np.zeros((c, 4), bool)
+    for k in range(c):
+        z_valid[k, : rng.integers(0, 5)] = True  # packed-first masks
+    # rotation-XOR-translation ticks
+    rotating = rng.random(c) < 0.5
+    noisy_rot = np.where(
+        rotating[:, None], rng.normal(0.3, 0.01, (c, ps.num_particles)), 0.0
+    ).astype(np.float32)
+    noisy_trans = np.where(
+        rotating[:, None], 0.0, rng.normal(0.4, 0.01, (c, ps.num_particles))
+    ).astype(np.float32)
+
+    tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = fused_update_planes_multi(
+        ps.poses, ps.log_weights,
+        ps.lm_mx, ps.lm_my, ps.lm_ca, ps.lm_cb, ps.lm_cc, ps.lm_cd,
+        ps.lm_count,
+        jnp.asarray(z), jnp.asarray(z_valid),
+        jnp.asarray(noisy_rot), jnp.asarray(noisy_trans), cfg,
+        interpret=True,
+    )
+
+    est, final = _sequential_reference(
+        ps, jnp.asarray(noisy_rot), jnp.asarray(noisy_trans),
+        jnp.asarray(z), jnp.asarray(z_valid), cfg,
+    )
+
+    for k, (x, y, yaw, logw) in enumerate(est):
+        np.testing.assert_allclose(np.asarray(tx[k]), np.asarray(x),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ty[k]), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tyaw[k]), np.asarray(yaw),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tlogw[k]), np.asarray(logw),
+                                   rtol=1e-4, atol=1e-4)
+    w_mx, w_my, w_ca, w_cb, w_cc, w_cd, w_cnt = final
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(w_cnt))
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(w_mx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(my), np.asarray(w_my),
+                               rtol=1e-4, atol=1e-4)
+    for got, want in ((ca, w_ca), (cb, w_cb), (cc, w_cc), (cd, w_cd)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_step_runs_and_estimates():
+    """fastslam_steps_planes_chunked: full chunked step (propagate noise,
+    kernel, chunk-boundary normalize/Neff/resample, per-tick estimates)."""
+    from fastslam_tpu.core.state import init_planes_state
+
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=8, max_measurements=4,
+        parity_mode=False, use_pallas=True, pallas_interpret=True,
+    )
+    state = init_planes_state(cfg, rng=0)
+    c = 6
+    rots = jnp.zeros(c, jnp.float32)
+    trans = jnp.full(c, 0.4, jnp.float32)
+    # geometrically consistent observations of two FIXED world landmarks
+    # from the commanded path (x = 0.4 * tick), so ticks 2.. re-associate
+    lms = np.asarray([[3.0, 1.0], [1.5, -2.0]])
+    rb = np.zeros((c, 4, 2), np.float32)
+    for k in range(c):
+        rx = 0.4 * (k + 1)
+        d = lms - np.asarray([rx, 0.0])
+        rb[k, :2, 0] = np.hypot(d[:, 0], d[:, 1])
+        rb[k, :2, 1] = np.arctan2(d[:, 1], d[:, 0])
+    rb = jnp.asarray(rb)
+    valid = jnp.tile(jnp.asarray([True, True, False, False]), (c, 1))
+    from fastslam_tpu.core.state import Measurements
+
+    state2, est = kernels.fastslam_steps_planes_chunked(
+        state, rots, trans, Measurements(rb, valid), cfg
+    )
+    assert est.shape == (c, 3)
+    assert np.isfinite(np.asarray(est)).all()
+    assert np.isfinite(np.asarray(state2.log_weights)).all()
+    # weights normalized at the chunk boundary
+    np.testing.assert_allclose(
+        np.exp(np.asarray(state2.log_weights)).sum(), 1.0, rtol=1e-4
+    )
+    # two static landmarks observed every tick -> two slots per particle
+    np.testing.assert_array_equal(np.asarray(state2.lm_count),
+                                  np.full(128, 2, np.int32))
+    # parity mode must refuse chunked execution
+    with pytest.raises(NotImplementedError):
+        kernels.fastslam_steps_planes_chunked(
+            state, rots, trans, Measurements(rb, valid),
+            cfg.replace(parity_mode=True),
+        )
