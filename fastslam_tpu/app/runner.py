@@ -41,6 +41,8 @@ class RunHistory:
     gt_poses: List[np.ndarray] = field(default_factory=list)
     evaluations: List[TickEvaluation] = field(default_factory=list)
     num_measurements: List[int] = field(default_factory=list)
+    # final (xy, theta) adaptive proposal floors, when the run adapts them
+    final_floors: tuple | None = None
 
     def metrics(self, skip: int = 0) -> dict:
         return trajectory_metrics(
@@ -90,12 +92,33 @@ class SLAMRunner:
                 return tracks, measurements_from_corners(pos, ok, config)
 
             self._tracked_frontend = jax.jit(tracked_frontend)
+        self._adaptive_floors = bool(config.adaptive_proposal_floors)
+        if self._adaptive_floors and not (
+            config.use_icp_proposal and config.proposal_mode == "fastslam2"
+        ):
+            raise ValueError(
+                "adaptive_proposal_floors estimates the odometry error from "
+                "the ICP-vs-command residual and feeds it to the fastslam2 "
+                "proposal: requires use_icp_proposal=True and "
+                "proposal_mode='fastslam2'"
+            )
+        # EMA state of the online residual estimate (host-side scalars)
+        self._floor_xy = config.proposal_xy_floor
+        self._floor_th = config.proposal_theta_floor
         if self.uses_planes:
             self._step = jax.jit(
                 lambda st, rot, trans, ms: kernels.fastslam_step_planes(
                     st, rot, trans, ms, config
                 ),
                 donate_argnums=0,
+            )
+        elif self._adaptive_floors:
+            # floors ride as TRACED scalars so per-tick adaptation does not
+            # trigger recompilation
+            self._step = jax.jit(
+                lambda st, rot, trans, ms, fxy, fth: kernels.fastslam_step(
+                    st, rot, trans, ms, config, proposal_floors=(fxy, fth)
+                )
             )
         else:
             self._step = jax.jit(
@@ -166,6 +189,31 @@ class SLAMRunner:
         else:
             icp_rot = float(-np.arctan2(r_comp[1, 0], r_comp[0, 0]))
             icp_trans = 0.0
+
+        if self._adaptive_floors:
+            # the ICP-vs-command residual is an online sample of the real
+            # odometry error scale (clean odometry -> tiny residual -> tight
+            # floors; wheel slip -> the scan match disagrees with the command
+            # by the slip magnitude -> the floors open up to match).  EMA
+            # keeps single-tick ICP noise from whipping the proposal around.
+            cfg = self.config
+            e = cfg.floor_residual_ema
+            clip = lambda x: float(
+                np.clip(x, cfg.proposal_floor_min, cfg.proposal_floor_max)
+            )
+            # each floor updates only on the ticks its motion component is
+            # active (rotation-XOR-translation odometry): a translation tick
+            # says nothing about rotation error, and a stream of 0-residual
+            # inactive ticks would otherwise drag the EMA to the min
+            if v != 0:
+                self._floor_xy = clip(
+                    (1 - e) * self._floor_xy + e * abs(icp_trans - translation)
+                )
+            else:
+                self._floor_th = clip(
+                    (1 - e) * self._floor_th + e * abs(icp_rot - rotation)
+                )
+
         a = self.config.icp_blend
         return (
             (1.0 - a) * rotation + a * icp_rot,
@@ -187,9 +235,15 @@ class SLAMRunner:
             ms = self._frontend(
                 jnp.asarray(points, jnp.float32), jnp.asarray(valid)
             )
-        self.state, est = self._step(
-            self.state, jnp.float32(rotation), jnp.float32(translation), ms
-        )
+        if self._adaptive_floors:
+            self.state, est = self._step(
+                self.state, jnp.float32(rotation), jnp.float32(translation),
+                ms, jnp.float32(self._floor_xy), jnp.float32(self._floor_th),
+            )
+        else:
+            self.state, est = self._step(
+                self.state, jnp.float32(rotation), jnp.float32(translation), ms
+            )
         est = np.asarray(est)
 
         if self.iteration < self.config.warmup_iterations:
@@ -351,4 +405,6 @@ def run_driver(
 
     if metrics:
         metrics.close()
+    if runner._adaptive_floors:
+        history.final_floors = (runner._floor_xy, runner._floor_th)
     return history

@@ -119,6 +119,19 @@ class FastSLAMConfig:
     # 0.221).  Floors far from the true error hurt either way.
     proposal_xy_floor: float = 0.01
     proposal_theta_floor: float = 0.01
+    # adaptive floors: estimate the real odometry error ONLINE from the
+    # ICP-vs-command residual (requires use_icp_proposal; set icp_blend=0.0
+    # to use ICP for the residual ONLY — with clean odometry, blending ICP
+    # noise into exact commands costs ATE: 0.049 vs 0.111 at blend 0.5 on
+    # the seed-3 verify drive) and feed it to the
+    # proposal as the floor, EMA-smoothed and clipped to
+    # [proposal_floor_min, proposal_floor_max].  Solves the "tune to the real
+    # odometry error" problem above without a priori knowledge: clean
+    # odometry anneals the floors tight, wheel slip opens them up.
+    adaptive_proposal_floors: bool = False
+    floor_residual_ema: float = 0.1       # EMA weight of the newest residual
+    proposal_floor_min: float = 5e-4
+    proposal_floor_max: float = 0.05
 
     # ---- motion / app loop ----
     velocity_fudge: float = 0.6           # sim reduces commanded v by 40% (robot.py:144)

@@ -142,3 +142,52 @@ def test_fastslam2_tracks_with_tiny_particle_count_and_noisy_odometry():
 
     ates_fs2 = [run("fastslam2", s) for s in range(3)]
     assert np.mean(ates_fs2) < 0.25, f"fs2 diverged: {ates_fs2}"
+
+
+@pytest.mark.slow
+def test_adaptive_floors_track_the_real_odometry_error():
+    """The floors must TUNE THEMSELVES to the regime: with clean odometry the
+    ICP-vs-command residual is tiny and the floors anneal tight (well below
+    the 0.01 default); under wheel slip the residual reflects the slip and
+    the floors open toward its scale.  (With fixed floors either regime needs
+    hand-tuning — config.py's 'TUNE TO THE REAL ODOMETRY ERROR' note.)"""
+    from fastslam_tpu.app.runner import run_driver
+    from fastslam_tpu.drivers.replay import ReplayDriver, record_log
+    from fastslam_tpu.drivers.sim_world import SimWorld
+    from fastslam_tpu.eval.metrics import ate_rmse
+
+    log = record_log(SimWorld(seed=21), num_ticks=200)
+    cfg = FastSLAMConfig(
+        num_particles=32, max_landmarks=24, warmup_iterations=40,
+        parity_mode=False, proposal_mode="fastslam2",
+        use_icp_proposal=True, icp_blend=0.5,
+        adaptive_proposal_floors=True,
+    )
+
+    clean = run_driver(ReplayDriver(log), cfg, rng=0)
+    slip = run_driver(ReplayDriver(log), cfg, rng=0,
+                      odometry_noise=(0.02, 0.02), odometry_noise_seed=7)
+
+    fxy_clean, fth_clean = clean.final_floors
+    fxy_slip, fth_slip = slip.final_floors
+    # clean: annealed below the hand-tuned default
+    assert fxy_clean < 0.01, fxy_clean
+    # slip: opened up to the slip scale (0.02/tick), well above clean
+    assert fxy_slip > 3 * fxy_clean, (fxy_clean, fxy_slip)
+    assert fth_slip > fth_clean, (fth_clean, fth_slip)
+    assert fxy_slip > 0.008, fxy_slip
+
+    # both regimes keep tracking without per-regime hand-tuning
+    for h in (clean, slip):
+        est, gt = np.asarray(h.est_poses), np.asarray(h.gt_poses)
+        assert ate_rmse(gt[40:, :2], est[40:, :2]) < 0.25
+
+
+def test_adaptive_floors_require_icp_and_fs2():
+    from fastslam_tpu.app.runner import SLAMRunner
+
+    cfg = FastSLAMConfig(
+        num_particles=8, parity_mode=False, adaptive_proposal_floors=True
+    )
+    with pytest.raises(ValueError, match="adaptive_proposal_floors"):
+        SLAMRunner(cfg)
