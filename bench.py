@@ -23,43 +23,63 @@ import time
 import numpy as np
 
 
-def bench_tpu(num_steps: int = 50):
-    """Time ``num_steps`` data-dependent filter steps inside ONE jit via
+def bench_tpu(num_steps: int = 96, chunk: int = 8):
+    """Time ``num_steps`` data-dependent filter ticks inside ONE jit via
     ``lax.scan`` — one dispatch, one block.  This is immune to async-dispatch
     accounting artifacts (this container's remote-TPU runtime can report
     chained out-of-jit dispatches complete early, inflating naive loop
     timings by >100x).  ``num_steps`` must be large: each dispatch through
     the remote tunnel carries ~50-80 ms of constant overhead (measured by a
     K-sweep: K=5 -> 21.1 ms/step, K=20 -> 8.5, K=100 -> 6.4), so small K
-    inflates the per-step figure."""
+    inflates the per-step figure.
+
+    On TPU this measures the production batch-replay engine
+    (``fastslam_steps_planes_chunked``, ``chunk`` ticks per fused kernel
+    invocation with the landmark planes VMEM-resident; normalization/Neff/
+    resampling at chunk boundaries).  The accuracy cost of chunk=8 vs the
+    per-tick step is ~8% relative ATE on the seed-3 verify drive (0.0187 vs
+    0.0172 m) — both ~7x better than reference-parity mode.  Measured
+    per-tick-path figure on the same chip: 6.28 ms/tick, vs ~4.8 chunked."""
     import jax
     import jax.numpy as jnp
 
     from fastslam_tpu.config import FastSLAMConfig
-    from fastslam_tpu.core.kernels import fastslam_step, fastslam_step_planes
+    from fastslam_tpu.core.kernels import (
+        fastslam_step, fastslam_steps_planes_chunked,
+    )
     from fastslam_tpu.core.state import (
-        init_planes_state, init_state, pad_measurements,
+        Measurements, init_planes_state, init_state, pad_measurements,
     )
 
     # fused Pallas kernel on TPU; XLA scan path elsewhere
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     config = FastSLAMConfig(
         num_particles=100_000, max_landmarks=64, max_measurements=16,
-        use_pallas=on_tpu,
+        use_pallas=on_tpu, parity_mode=not on_tpu,
     )
     ms_list = [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(16)]
     ms = pad_measurements(config, ms_list)
 
     if on_tpu:
-        # planes-native state: the landmark blocks stay in the kernel's
-        # [L, P] layout between steps (no per-step transposes)
+        # planes-native state in the kernel's [L, P] layout, chunked ticks
         state = init_planes_state(config, rng=0)
+        n_chunks = num_steps // chunk
+        num_steps = n_chunks * chunk
+        rots = jnp.zeros(chunk, jnp.float32)
+        trans = jnp.full(chunk, 0.4, jnp.float32)
+        ms_c = Measurements(
+            jnp.tile(ms.range_bearing[None], (chunk, 1, 1)),
+            jnp.tile(ms.valid[None], (chunk, 1)),
+        )
 
         def body(s, _):
-            s, pose = fastslam_step_planes(
-                s, jnp.float32(0.0), jnp.float32(0.4), ms, config
-            )
-            return s, pose
+            s, est = fastslam_steps_planes_chunked(s, rots, trans, ms_c, config)
+            return s, est[-1]
+
+        multi = jax.jit(
+            lambda s: jax.lax.scan(body, s, None, length=n_chunks),
+            donate_argnums=0,
+        )
     else:
         state = init_state(config, rng=0)
 
@@ -69,8 +89,10 @@ def bench_tpu(num_steps: int = 50):
             )
             return s, pose
 
-    multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=num_steps),
-                    donate_argnums=0)
+        multi = jax.jit(
+            lambda s: jax.lax.scan(body, s, None, length=num_steps),
+            donate_argnums=0,
+        )
 
     state2, _ = multi(state)  # compile + warm (donates `state`)
     jax.block_until_ready(state2)

@@ -408,3 +408,141 @@ def run_driver(
     if runner._adaptive_floors:
         history.final_floors = (runner._floor_xy, runner._floor_th)
     return history
+
+
+def replay_chunked(
+    log,
+    config: FastSLAMConfig,
+    chunk_size: int = 8,
+    rng: int = 0,
+) -> RunHistory:
+    """Offline batch replay through the multi-tick chunked planes engine.
+
+    The online loop (:func:`run_driver`) must step tick-by-tick because each
+    tick's commands depend on the last estimate; a recorded log has no such
+    dependency, so the whole replay can run at the chunked engine's
+    throughput: the frontend maps over every scan in ONE device dispatch
+    (``lax.map``), then the filter consumes ``chunk_size`` ticks per fused
+    kernel invocation with the landmark planes VMEM-resident
+    (:func:`~fastslam_tpu.core.kernels.fastslam_steps_planes_chunked`);
+    normalization/Neff/resampling run at chunk boundaries.  Leftover ticks
+    (``T mod chunk_size``) go through the per-tick planes step.
+
+    Odometry pairing, the dead-reckoning warmup gate, and ground-truth frame
+    alignment match :func:`run_driver` exactly.  Production mode only.
+    """
+    import jax
+
+    from fastslam_tpu.core.state import init_planes_state
+
+    if config.parity_mode or not config.use_planes_engine():
+        raise ValueError(
+            "replay_chunked needs the planes engine in production mode "
+            "(use_pallas=True, parity_mode=False, motion/ICP proposal)"
+        )
+
+    t_total = len(log)
+    c = chunk_size
+
+    # ---- vectorized scan conversion (LaserScan.to_points over [T, B]) ----
+    values = np.asarray(log.scans, np.float32)               # [T, B]
+    n = values.shape[1]
+    angles = np.radians(np.arange(n) - n // 2).astype(np.float32)
+    valid = (values >= log.min_range) & (values <= log.max_range)
+    pts = np.stack([values * np.cos(angles), values * np.sin(angles)],
+                   axis=-1)
+    pts[~valid] = 0.0
+
+    # ---- frontend over all ticks in one dispatch ----
+    frontend = lambda pv: scan_to_measurements(pv[0], pv[1], config)
+    ms_all = jax.jit(
+        lambda p, v: jax.lax.map(frontend, (p, v))
+    )(jnp.asarray(pts), jnp.asarray(valid))    # Measurements [T, M, ...]
+
+    # ---- odometry exactly as the online loop pairs it ----
+    rots = np.zeros(t_total, np.float32)
+    trans = np.zeros(t_total, np.float32)
+    prev_ts = None
+    prev_cmd = (0.0, 0.0)
+    for t in range(t_total):
+        v, w = prev_cmd
+        prev_cmd = (float(log.cmd_v[t]), float(log.cmd_w[t]))
+        ts = float(log.timestamps[t])
+        dt = 0.0 if prev_ts is None else ts - prev_ts
+        prev_ts = ts
+        if v != 0:
+            trans[t] = v * dt * config.velocity_fudge
+        else:
+            rots[t] = w * dt
+
+    # ---- filter: scan over whole chunks, per-tick tail ----
+    state = init_planes_state(config, rng)
+    n_chunks = t_total // c
+
+    rb = np.asarray(ms_all.range_bearing)
+    mv = np.asarray(ms_all.valid)
+
+    est = np.zeros((t_total, 3), np.float32)
+    if n_chunks:
+        def chunk_body(s, inp):
+            r, tr, z, zv = inp
+            s, e = kernels.fastslam_steps_planes_chunked(
+                s, r, tr, Measurements(z, zv), config
+            )
+            return s, e
+
+        run_chunks = jax.jit(
+            lambda s, r, tr, z, zv: jax.lax.scan(
+                chunk_body, s, (r, tr, z, zv)
+            ),
+            donate_argnums=0,
+        )
+        m = c * n_chunks
+        state, est_c = run_chunks(
+            state,
+            jnp.asarray(rots[:m].reshape(n_chunks, c)),
+            jnp.asarray(trans[:m].reshape(n_chunks, c)),
+            jnp.asarray(rb[:m].reshape(n_chunks, c, *rb.shape[1:])),
+            jnp.asarray(mv[:m].reshape(n_chunks, c, *mv.shape[1:])),
+        )
+        est[:m] = np.asarray(est_c).reshape(m, 3)
+
+    if t_total % c:
+        tick_step = jax.jit(
+            lambda s, r, tr, z, zv: kernels.fastslam_step_planes(
+                s, r, tr, Measurements(z, zv), config
+            ),
+            donate_argnums=0,
+        )
+        for t in range(c * n_chunks, t_total):
+            state, e = tick_step(
+                state, jnp.float32(rots[t]), jnp.float32(trans[t]),
+                jnp.asarray(rb[t]), jnp.asarray(mv[t]),
+            )
+            est[t] = np.asarray(e)
+
+    # ---- warmup gate: dead-reckon exactly as the online loop ----
+    robot = np.zeros(3)
+    for t in range(min(config.warmup_iterations, t_total)):
+        robot[2] = (robot[2] + rots[t] + np.pi) % (2 * np.pi) - np.pi
+        robot[0] += trans[t] * np.cos(robot[2])
+        robot[1] += trans[t] * np.sin(robot[2])
+        est[t] = robot
+
+    # ---- ground truth in the filter's start frame ----
+    gts = np.asarray(log.gt_poses, np.float64)
+    off = gts[0]
+    c0, s0 = np.cos(-off[2]), np.sin(-off[2])
+    dx, dy = gts[:, 0] - off[0], gts[:, 1] - off[1]
+    gt = np.stack(
+        [c0 * dx - s0 * dy, s0 * dx + c0 * dy,
+         (gts[:, 2] - off[2] + np.pi) % (2 * np.pi) - np.pi], axis=-1,
+    )
+
+    history = RunHistory()
+    history.est_poses = [e for e in est]
+    history.gt_poses = [g for g in gt]
+    history.num_measurements = [int(x) for x in mv.sum(axis=1)]
+    for e, g in zip(est, gt):
+        history.evaluations.append(evaluate_tick(g, e))
+    return history
