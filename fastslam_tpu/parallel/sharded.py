@@ -220,6 +220,109 @@ def make_sharded_planes_step(config: FastSLAMConfig, mesh: Mesh):
     )
 
 
+def _constrained_planes_chunked(
+    state: PlanesState,
+    rotations: jax.Array,     # [C]
+    translations: jax.Array,  # [C]
+    measurements: Measurements,  # [C, M, ...]
+    config: FastSLAMConfig,
+    mesh: Mesh,
+) -> Tuple[PlanesState, jax.Array]:
+    """fastslam_steps_planes_chunked decomposed for the mesh: the multi-tick
+    fused kernel (in-kernel propagation + C measurement loops, landmark
+    planes VMEM-resident) runs per-shard via shard_map — per-tick noise rows
+    shard with their particles, no collectives inside the chunk — while the
+    chunk-boundary weights/Neff/resampling/estimates stay under GSPMD.
+    Same chunk-boundary semantics as the single-device chunked step."""
+    from jax import shard_map
+
+    from fastslam_tpu.core.pallas_kernels import fused_update_planes_multi
+
+    shardings = planes_state_sharding(mesh, config)
+    pin = lambda s: jax.tree.map(jax.lax.with_sharding_constraint, s, shardings)
+    state = pin(state)
+
+    rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
+    p = state.num_particles
+    c = rotations.shape[0]
+    dt = state.poses.dtype
+
+    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (c, p), dtype=dt)
+    trans_noise = config.translation_noise * jax.random.normal(
+        k_trans, (c, p), dtype=dt
+    )
+    rotating = (rotations != 0.0)[:, None]
+    noisy_rot = jnp.where(rotating, rotations[:, None] + rot_noise, 0.0)
+    noisy_trans = jnp.where(rotating, 0.0, translations[:, None] + trans_noise)
+
+    pax = config.particle_axis
+    pspec = P(pax)
+    plane_spec = P(None, pax)
+
+    def local(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, nr, nt):
+        return fused_update_planes_multi(
+            poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, nr, nt,
+            config, interpret=config.pallas_interpret,
+        )
+
+    tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
+                 + (pspec, P(), P(), plane_spec, plane_spec),
+        out_specs=(plane_spec,) * 4 + (plane_spec,) * 6 + (pspec,),
+        check_vma=False,
+    )(state.poses, state.log_weights, state.lm_mx, state.lm_my, state.lm_ca,
+      state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+      measurements.range_bearing, measurements.valid, noisy_rot, noisy_trans)
+
+    # per-tick estimates: global argmax over the (sharded) per-tick weights
+    best = jnp.argmax(tlogw, axis=1)
+    ticks = jnp.arange(c)
+    est = jnp.stack(
+        [tx[ticks, best], ty[ticks, best], tyaw[ticks, best]], axis=-1
+    )
+
+    log_w = kernels.normalize_log_weights(tlogw[c - 1], config)
+    state = pin(state._replace(
+        poses=jnp.stack([tx[c - 1], ty[c - 1], tyaw[c - 1]], axis=-1),
+        log_weights=log_w,
+        lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb, lm_cc=cc, lm_cd=cd,
+        lm_count=cnt, rng=rng,
+    ))
+
+    neff = kernels.effective_particles(log_w, config)
+    u0 = jax.random.uniform(k_u, (), dtype=dt, maxval=1.0 / p)
+
+    def do_resample(s):
+        idx = kernels.systematic_resample_indices(jnp.exp(s.log_weights), u0)
+        return kernels.resample_planes_state(s, idx, config)
+
+    state = jax.lax.cond(
+        neff < config.resample_threshold_frac * p, do_resample,
+        lambda s: s, state,
+    )
+    return pin(state), est
+
+
+def make_sharded_planes_chunked_step(config: FastSLAMConfig, mesh: Mesh,
+                                     chunk_size: int):
+    """Compile the multi-tick chunked planes step for a 1-D particle mesh.
+
+    Returns ``step(state, rotations [C], translations [C], measurements
+    [C, M, ...])`` -> ``(state, per-tick pose estimates [C, 3])``."""
+    if config.parity_mode:
+        raise ValueError("chunked execution is production-mode only")
+    shardings = planes_state_sharding(mesh, config)
+    repl = NamedSharding(mesh, P())
+    ms_sharding = Measurements(range_bearing=repl, valid=repl)
+    return jax.jit(
+        partial(_constrained_planes_chunked, config=config, mesh=mesh),
+        in_shardings=(shardings, repl, repl, ms_sharding),
+        out_shardings=(shardings, repl),
+        donate_argnums=0,
+    )
+
+
 def make_sharded_step(config: FastSLAMConfig, mesh: Mesh):
     """Compile the full filter step for the mesh.
 

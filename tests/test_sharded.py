@@ -186,3 +186,49 @@ def test_sharded_planes_step_matches_unsharded_planes(mesh):
     # planes sharded along the lane axis across all 8 devices
     assert len(ps_sh.lm_mx.addressable_shards) == 8
     assert ps_sh.lm_mx.addressable_shards[0].data.shape == (16, 16)
+
+
+def test_sharded_chunked_matches_single_device():
+    """Multi-tick chunked planes step: sharded and single-device execution
+    agree (same RNG stream; the multi-tick kernel runs per-shard via
+    shard_map, chunk-boundary collectives under GSPMD)."""
+    from fastslam_tpu.core.state import Measurements, init_planes_state
+    from fastslam_tpu.parallel.mesh import shard_planes_state
+    from fastslam_tpu.parallel.sharded import make_sharded_planes_chunked_step
+
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=8, max_measurements=4,
+        parity_mode=False, use_pallas=True, pallas_interpret=True,
+    )
+    c = 4
+    rots = jnp.zeros(c, jnp.float32)
+    trans = jnp.full(c, 0.4, jnp.float32)
+    lms = np.asarray([[3.0, 1.0], [1.5, -2.0]])
+    rb = np.zeros((c, 4, 2), np.float32)
+    for k in range(c):
+        d = lms - np.asarray([0.4 * (k + 1), 0.0])
+        rb[k, :2, 0] = np.hypot(d[:, 0], d[:, 1])
+        rb[k, :2, 1] = np.arctan2(d[:, 1], d[:, 0])
+    ms = Measurements(jnp.asarray(rb),
+                      jnp.tile(jnp.asarray([True, True, False, False]), (c, 1)))
+
+    mesh1 = make_mesh(cfg, devices=jax.devices()[:1])
+    mesh8 = make_mesh(cfg)
+    st1 = shard_planes_state(init_planes_state(cfg, rng=7), mesh1, cfg)
+    st8 = shard_planes_state(init_planes_state(cfg, rng=7), mesh8, cfg)
+    step1 = make_sharded_planes_chunked_step(cfg, mesh1, c)
+    step8 = make_sharded_planes_chunked_step(cfg, mesh8, c)
+
+    for _ in range(2):
+        st1, est1 = step1(st1, rots, trans, ms)
+        st8, est8 = step8(st8, rots, trans, ms)
+
+    assert est1.shape == (c, 3)
+    np.testing.assert_allclose(np.asarray(est1), np.asarray(est8), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st1.log_weights), np.asarray(st8.log_weights), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(st1.lm_mx), np.asarray(st8.lm_mx),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st1.lm_count),
+                                  np.asarray(st8.lm_count))
