@@ -194,6 +194,7 @@ def build_pose_graph(
     measurements: Sequence[np.ndarray],
     *,
     measurement_ids: Sequence[np.ndarray] | None = None,
+    session_boundaries: Sequence[int] = (),
     association_gate: float = 0.8,
     max_landmarks: int = 256,
     max_factors: int = 4096,
@@ -214,6 +215,10 @@ def build_pose_graph(
         they share a track id — instead of greedy world-frame clustering,
         which makes loop closures immune to accumulated drift (the tracker
         established identity frame-to-frame when drift was still tiny).
+      session_boundaries: keyframe indices where a NEW session starts (for
+        multi-session joint refinement): the odometry factor spanning each
+        boundary is invalidated, so independent trajectories are linked only
+        through shared landmarks, never by a bogus inter-session "motion".
     """
     import jax.numpy as jnp
 
@@ -231,6 +236,10 @@ def build_pose_graph(
             -s * dx + c * dy,
             (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi,
         ]
+    odo_valid = np.ones(k - 1, bool)
+    for b in session_boundaries:
+        if 0 < b <= k - 1:
+            odo_valid[b - 1] = False
     odo_info = np.tile(
         [1.0 / odo_sigma_xy ** 2, 1.0 / odo_sigma_xy ** 2, 1.0 / odo_sigma_theta ** 2],
         (k - 1, 1),
@@ -290,7 +299,7 @@ def build_pose_graph(
         lm_valid=jnp.asarray(lm_valid),
         odo_rel=as32(odo_rel),
         odo_info=as32(odo_info),
-        odo_valid=jnp.asarray(np.ones(k - 1, bool)),
+        odo_valid=jnp.asarray(odo_valid),
         obs_kf=jnp.asarray(obs_kf_arr),
         obs_lm=jnp.asarray(obs_lm_arr),
         obs_rb=as32(obs_rb_arr),

@@ -211,3 +211,79 @@ def merge_sessions(
         poses_out = transform_poses(poses_b, alignment.rotation,
                                     alignment.translation)
     return alignment, merged, poses_out
+
+
+def refine_merged_sessions(
+    kf_a,
+    measurements_a,
+    kf_b_aligned,
+    measurements_b,
+    *,
+    num_iters: int = 25,
+    reassociate_rounds: int = 2,
+    association_gate: float = 0.8,
+    max_landmarks: int = 256,
+    max_factors: int = 4096,
+):
+    """Joint pose-graph refinement of two merged sessions.
+
+    The map-level merge above aligns B onto A with one rigid SE(2) transform
+    — it cannot correct the sessions' own accumulated drift.  This builds ONE
+    pose graph over both trajectories: all keyframes of A then B (B already
+    in A's frame via the alignment), per-session odometry chains (the
+    odometry factor across the session boundary is invalidated —
+    ``build_pose_graph(session_boundaries=...)``), and a shared landmark set
+    associated in the common frame, so co-observed landmarks become the
+    cross-session loop-closure constraints that bend each trajectory, not
+    just shift it.
+
+    Args:
+      kf_a / kf_b_aligned: ``[Ka, 3]`` / ``[Kb, 3]`` keyframe poses, common frame.
+      measurements_a / measurements_b: per-keyframe ``[m, 2]`` (range, bearing).
+
+    Returns ``(kf_a_refined, kf_b_refined, info)``.
+    """
+    import numpy as np
+
+    from fastslam_tpu.backend.builder import (
+        build_pose_graph,
+        reassociate_pose_graph,
+    )
+    from fastslam_tpu.backend.pose_graph import optimize
+
+    kf_a = np.asarray(kf_a, np.float64)
+    kf_b = np.asarray(kf_b_aligned, np.float64)
+    ka = len(kf_a)
+    kf = np.concatenate([kf_a, kf_b], axis=0)
+    ms = list(measurements_a) + list(measurements_b)
+
+    graph = build_pose_graph(
+        kf, ms, session_boundaries=(ka,),
+        association_gate=association_gate,
+        max_landmarks=max_landmarks, max_factors=max_factors,
+    )
+    poses, landmarks, err, _ = optimize(graph, num_iters=num_iters)
+
+    rounds_used = 0
+    per_factor = lambda e, g: float(e) / max(
+        int(np.asarray(g.obs_valid).sum()), 1
+    )
+    for _ in range(reassociate_rounds):
+        g2 = reassociate_pose_graph(
+            graph, np.asarray(poses), association_gate=association_gate
+        )
+        p2, l2, e2, _ = optimize(g2, num_iters=num_iters)
+        if per_factor(e2, g2) < per_factor(err, graph):
+            graph, poses, landmarks, err = g2, p2, l2, e2
+            rounds_used += 1
+        else:
+            break
+
+    poses = np.asarray(poses)
+    info = {
+        "final_error": float(err),
+        "num_landmarks": int(np.asarray(graph.lm_valid).sum()),
+        "num_factors": int(np.asarray(graph.obs_valid).sum()),
+        "reassociation_rounds": rounds_used,
+    }
+    return poses[:ka], poses[ka:], info

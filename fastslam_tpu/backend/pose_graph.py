@@ -295,11 +295,15 @@ def optimize(g: PoseGraph, num_iters: int = 10, damping: float = 1e-6):
         poses, landmarks, lam, err = carry
         new_p, new_l = gauss_newton_step(poses, landmarks, g, lam)
         new_err = total_error(new_p, new_l, g)
+        # NaN-safe accept/reject: a failed Cholesky at low damping yields a
+        # NaN step, which must count as a rejection (raise lambda, keep the
+        # current iterate) — `minimum(err, nan)` would poison the error
+        # forever and freeze the whole loop at the input
         improved = new_err < err
         poses = jnp.where(improved, new_p, poses)
         landmarks = jnp.where(improved, new_l, landmarks)
         lam = jnp.where(improved, lam * 0.5, lam * 10.0)
-        err = jnp.minimum(err, new_err)
+        err = jnp.where(improved, new_err, err)
         return (poses, landmarks, lam, err), err
 
     err0 = total_error(g.poses, g.landmarks, g)

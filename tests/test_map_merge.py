@@ -127,3 +127,48 @@ def test_jit_compatible():
     f = jax.jit(lambda a, av, b, bv: merge_sessions(a, av, b, bv)[1].landmarks)
     out = f(lm_a, va, lm_b, vb)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_joint_refinement_corrects_per_session_drift():
+    """A rigid SE(2) alignment cannot fix drift INSIDE a session; the joint
+    pose graph (both trajectories as keyframes, shared landmarks as
+    cross-session loop closures, no odometry factor across the boundary)
+    must bend both trajectories toward ground truth."""
+    from fastslam_tpu.backend.map_merge import refine_merged_sessions
+    from tests.test_backend import simulate_world
+
+    # two sessions over the SAME world (same landmarks — the whole point of a
+    # merge), independent per-session drifts, common frame
+    noisy_a, obs_a, gt, _ = simulate_world(k=14, drift=0.8, seed=31)
+    rng = np.random.default_rng(99)
+    noisy_b = gt + rng.normal(0, 0.8 / 14, (14, 3)).cumsum(axis=0)
+    noisy_b[0] = gt[0]
+    obs_b = obs_a  # same ground-truth traversal of the same landmarks
+
+    err_in_a = np.linalg.norm(noisy_a[:, :2] - gt[:, :2], axis=1).mean()
+    err_in_b = np.linalg.norm(noisy_b[:, :2] - gt[:, :2], axis=1).mean()
+
+    ref_a, ref_b, info = refine_merged_sessions(
+        noisy_a, obs_a, noisy_b, obs_b,
+        max_landmarks=32, max_factors=1024, association_gate=0.6,
+    )
+    err_a = np.linalg.norm(ref_a[:, :2] - gt[:, :2], axis=1).mean()
+    err_b = np.linalg.norm(ref_b[:, :2] - gt[:, :2], axis=1).mean()
+
+    assert err_a < err_in_a * 0.5, (err_in_a, err_a)
+    assert err_b < err_in_b * 0.5, (err_in_b, err_b)
+    assert np.isfinite(info["final_error"])
+    assert info["num_factors"] > 0
+
+
+def test_session_boundary_invalidates_cross_session_odometry():
+    from fastslam_tpu.backend.builder import build_pose_graph
+    from tests.test_backend import simulate_world
+
+    noisy, obs, _, _ = simulate_world(k=10, drift=0.2, seed=5)
+    kf = np.concatenate([noisy[:6], noisy[6:]])
+    g = build_pose_graph(kf, obs, session_boundaries=(6,),
+                         max_landmarks=16, max_factors=256)
+    ov = np.asarray(g.odo_valid)
+    assert not ov[5]                      # the boundary factor is off
+    assert ov.sum() == len(kf) - 2        # every other factor kept
