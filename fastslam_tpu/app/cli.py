@@ -70,12 +70,24 @@ def cmd_record(args) -> int:
 
 def cmd_run(args) -> int:
     _force_cpu_if(args.cpu)
-    from fastslam_tpu.app.runner import run_driver
+    from fastslam_tpu.app.runner import replay_chunked, run_driver
     from fastslam_tpu.drivers.replay import LaserLog, ReplayDriver
 
     log = LaserLog.load(args.log)
     cfg = _make_config(args)
-    hist = run_driver(ReplayDriver(log), cfg, rng=args.seed)
+    if args.chunk:
+        # batch-replay engine: N ticks per fused kernel invocation, landmark
+        # planes VMEM-resident, resampling at chunk boundaries (~1.3x the
+        # per-tick throughput for a small ATE cost — EVAL.md)
+        import jax
+
+        cfg = cfg.replace(
+            parity_mode=False, use_pallas=True,
+            pallas_interpret=jax.devices()[0].platform == "cpu",
+        )
+        hist = replay_chunked(log, cfg, chunk_size=args.chunk, rng=args.seed)
+    else:
+        hist = run_driver(ReplayDriver(log), cfg, rng=args.seed)
     metrics = hist.metrics(skip=args.skip_ticks)
     if args.plot:
         import matplotlib
@@ -123,6 +135,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("run", help="run SLAM on a replay log, print metrics")
     p.add_argument("--log", required=True)
     p.add_argument("--plot", default=None, help="write trajectory plot PNG")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="batch replay: ticks per fused kernel invocation "
+                        "(implies --production; 0 = per-tick online loop)")
     p.add_argument("--skip-ticks", type=int, default=0,
                    help="skip first N ticks in metrics")
     _add_filter_args(p)

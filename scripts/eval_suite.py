@@ -51,7 +51,17 @@ def main():
         "production+icp (N=100)": dict(
             num_particles=100, parity_mode=False, use_icp_proposal=True,
         ),
+        # adaptive floors, residual-only ICP (blend 0: exact sim commands
+        # must not be polluted by scan-match noise)
+        "production+fs2+adaptive (N=100)": dict(
+            num_particles=100, parity_mode=False, proposal_mode="fastslam2",
+            use_icp_proposal=True, icp_blend=0.0,
+            adaptive_proposal_floors=True,
+        ),
     }
+    # the chunked batch-replay engine (the headline-bench path): resampling
+    # at chunk boundaries instead of per tick
+    chunked_name = "production chunked C=8 (N=100)"
     # wheel-slip rows: corrupt the odometry the filter sees (rotation std,
     # translation std per tick; ground truth unaffected).  This is where the
     # ICP scan-match proposal earns its keep — command odometry is nearly
@@ -63,13 +73,21 @@ def main():
         "production+icp (N=100, wheel slip)": dict(
             num_particles=100, parity_mode=False, use_icp_proposal=True,
         ),
+        # adaptive floors under slip: ICP blended in (it beats slipping
+        # commands) AND the floors open to the slip scale online
+        "production+fs2+adaptive (N=100, wheel slip)": dict(
+            num_particles=100, parity_mode=False, proposal_mode="fastslam2",
+            use_icp_proposal=True, icp_blend=0.5,
+            adaptive_proposal_floors=True,
+        ),
     }
 
     # the sim world is deterministic; vary runs by start pose + range noise
     starts = {s: (0.35 * (i - 1), -0.3 * i, 0.4 * i)
               for i, s in enumerate(args.seeds)}
 
-    rows = {name: [] for name in list(modes) + list(slip_modes)}
+    rows = {name: []
+            for name in list(modes) + [chunked_name] + list(slip_modes)}
     oracle_row = []
     for seed in args.seeds:
         x0, y0, yaw0 = starts[seed]
@@ -99,6 +117,17 @@ def main():
             hist = run_driver(ReplayDriver(log), cfg, rng=0)
             est = np.asarray(hist.est_poses)
             rows[name].append(ate_rmse(gt[:, :2], est[:, :2]))
+
+        from fastslam_tpu.app.runner import replay_chunked
+
+        chunk_cfg = FastSLAMConfig(
+            num_particles=100, max_landmarks=64, warmup_iterations=150,
+            parity_mode=False, use_pallas=True, pallas_interpret=args.cpu,
+        )
+        hist = replay_chunked(log, chunk_cfg, chunk_size=8, rng=0)
+        rows[chunked_name].append(
+            ate_rmse(gt[:, :2], np.asarray(hist.est_poses)[:, :2])
+        )
 
         for name, overrides in slip_modes.items():
             cfg = FastSLAMConfig(
@@ -142,7 +171,12 @@ def main():
         "proposal's floors default to real-robot odometry error (0.01); on",
         "these near-exact-odometry sim logs tighter floors close the gap",
         "(0.0003 -> 0.017 on seed 3), and under wheel slip fs2/ICP beat the",
-        "motion-only proposal (the slip rows).",
+        "motion-only proposal (the slip rows).  The `+adaptive` rows estimate",
+        "the floors ONLINE from the ICP-vs-command residual — one config for",
+        "both regimes (clean rows use icp_blend=0, residual-only; slip rows",
+        "blend the scan match in).  The `chunked C=8` row is the headline-",
+        "bench batch-replay engine (resampling at chunk boundaries; ~1.3x",
+        "throughput for a small ATE cost vs per-tick production).",
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
