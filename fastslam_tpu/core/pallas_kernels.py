@@ -98,12 +98,16 @@ def _wrap_pi(x):
     return x
 
 
-def _lane_tile(p: int, max_tile: int = 2048) -> int:
+def _lane_tile(p: int, max_tile: int = 256) -> int:
     """Particle (lane) tile: a multiple of 128 (Mosaic lane-tiling rule);
     the wrapper pads the particle axis up to a tile multiple.
 
-    VMEM per program ~ 13 planes x [L, tile] f32 (in + out copies); tile 2048
-    with L=64 is ~13 MB — inside the raised scoped-VMEM budget.
+    SMALL tiles win: the measured v5e sweep at P=100k/L=64/M=16 is
+    monotonic down to 256 (per-tick 6.28 ms at 2048 -> 5.02 at 256; chunked
+    C=8 4.80 -> 3.61) — more grid steps pipeline the plane DMA under the
+    measurement-loop compute, and the smaller [L, tile] working set keeps
+    the loop's intermediates closer to the vector registers.  128 is
+    slightly worse (grid overhead), >=1024 clearly worse.
     FASTSLAM_PALLAS_TILE overrides for tuning experiments."""
     import os
 
@@ -280,25 +284,24 @@ def _apply_measurement(
     do_update = has_match & z_ok                              # [1, T]
     do_append = (~has_match) & can_append & z_ok
 
-    upd = onehot & do_update                                  # [L, T]
-    app = (slot == cnt) & do_append
+    # single write pass per plane: the EKF update targets the matched slot,
+    # the append targets slot==cnt, and per lane at most ONE of the two fires
+    # (do_update/do_append are disjoint), so one [L, T] target mask + a [1, T]
+    # row-select of the value replaces the two where-passes per plane
+    # (7 [L, T] ops saved per measurement; stored values are bit-identical)
+    tgt = (onehot & do_update) | ((slot == cnt) & do_append)  # [L, T]
 
-    mx = jnp.where(upd, new_mu_x, mx)
-    my = jnp.where(upd, new_mu_y, my)
-    ca = jnp.where(upd, new_a, ca)
-    cb = jnp.where(upd, new_b, cb)
-    cc = jnp.where(upd, new_c, cc)
-    cd = jnp.where(upd, new_d, cd)
+    row = lambda u, a_: jnp.where(do_update, u, a_)           # [1, T] select
+    mx = jnp.where(tgt, row(new_mu_x, wx), mx)
+    my = jnp.where(tgt, row(new_mu_y, wy), my)
+    ca = jnp.where(tgt, row(new_a, default_cov), ca)
+    cb = jnp.where(tgt, row(new_b, 0.0), cb)
+    cc = jnp.where(tgt, row(new_c, 0.0), cc)
+    cd = jnp.where(tgt, row(new_d, default_cov), cd)
     new_det = new_a * new_d - new_b * new_c      # [1, T] row, cheap
-    detp = jnp.where(upd, new_det, detp)
-
-    mx = jnp.where(app, wx, mx)
-    my = jnp.where(app, wy, my)
-    ca = jnp.where(app, default_cov, ca)
-    cb = jnp.where(app, 0.0, cb)
-    cc = jnp.where(app, 0.0, cc)
-    cd = jnp.where(app, default_cov, cd)
-    detp = jnp.where(app, default_cov * default_cov, detp)
+    detp = jnp.where(
+        tgt, row(new_det, default_cov * default_cov), detp
+    )
 
     cnt = cnt + do_append.astype(jnp.int32)
     logw = jnp.where(do_update, logw + log_lik, logw)
