@@ -438,7 +438,16 @@ def replay_chunked(
     if config.parity_mode or not config.use_planes_engine():
         raise ValueError(
             "replay_chunked needs the planes engine in production mode "
-            "(use_pallas=True, parity_mode=False, motion/ICP proposal)"
+            "(use_pallas=True, parity_mode=False)"
+        )
+    if config.use_icp_proposal or config.adaptive_proposal_floors:
+        # the online loop refines each tick's odometry with an ICP match
+        # against the PREVIOUS estimate-dependent scan; batch replay has no
+        # per-tick host loop to run that in, so silently dropping it would
+        # degrade an ICP-configured run to raw command odometry
+        raise ValueError(
+            "replay_chunked replays raw command odometry; use_icp_proposal "
+            "and adaptive_proposal_floors need the per-tick loop (run_driver)"
         )
 
     t_total = len(log)

@@ -142,6 +142,12 @@ def merge_landmark_maps(
     count, so repeated merges converge instead of oscillating); the rest
     append into A's free slots, oldest-capacity-first, and report as dropped
     once capacity is exhausted.
+
+    NOTE: the output slot order is NOT stable relative to ``lm_a`` — A's
+    valid landmarks are compacted to the front (so free slots are contiguous
+    for the appends) before B is scattered in.  Callers holding slot indices
+    into A must re-associate by position; ``matched_b``/``appended_b``/
+    ``dropped_b`` index rows of ``lm_b``, which IS stable.
     """
     cap = lm_a.shape[0]
     dist, idx = nearest_neighbors(lm_b, lm_a, valid_a)

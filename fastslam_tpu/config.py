@@ -60,7 +60,10 @@ class FastSLAMConfig:
     hough_threshold: int = 80             # accumulator votes for a line
     hough_point_radius: int = 2           # rasterized point disc radius
     hough_num_thetas: int = 180           # 1-degree theta bins
-    hough_rho_bins: int = 4096            # static accumulator extent (+-2048 px)
+    # static accumulator extent: +-hough_rho_bins/2 px = +-20.48 m at the
+    # default scale 100.  Points beyond it do NOT vote (frontend/hough.py);
+    # raise this (or lower hough_scale) for worlds larger than ~20 m.
+    hough_rho_bins: int = 4096
     max_hough_lines: int = 24             # top-K detected lines kept
     # sub-pixel line refinement: weighted total-least-squares refit of each
     # detected line over the scan points within hough_refine_band_px of it
@@ -160,16 +163,30 @@ class FastSLAMConfig:
     engine: str = "auto"
 
     def planes_eligible(self) -> bool:
-        return self.use_pallas and (
-            self.parity_mode or self.proposal_mode != "fastslam2"
-        )
+        if not self.use_pallas:
+            return False
+        if not self.parity_mode and self.proposal_mode == "fastslam2":
+            return False
+        if self.parity_mode:
+            # the planes engine rounds the particle count up to the Pallas
+            # lane tile and runs the padded entries as real particles —
+            # fine in production, but it would change N (and thus the
+            # normalization denominator, Neff, and the resample threshold)
+            # under the parity contract, so parity runs only at counts the
+            # padding leaves unchanged; 'auto' falls back to blocks
+            from fastslam_tpu.core.state import planes_particle_count
+
+            return planes_particle_count(self.num_particles) == self.num_particles
+        return True
 
     def use_planes_engine(self) -> bool:
         if self.engine == "planes":
             if not self.planes_eligible():
                 raise ValueError(
-                    "engine='planes' requires use_pallas and a non-fastslam2 "
-                    "proposal"
+                    "engine='planes' requires use_pallas, and in parity mode "
+                    "a particle count the lane-tile padding leaves unchanged "
+                    "(multiple of 128); use engine='auto' to fall back to "
+                    "blocks"
                 )
             return True
         return self.engine == "auto" and self.planes_eligible()

@@ -209,7 +209,10 @@ def _apply_measurement(
         cd = jnp.where(app, default_cov, cd)
         detp = jnp.where(app, default_cov * default_cov, detp)
         cnt = cnt + do_append.astype(jnp.int32)
-        logw = logw + jnp.sum(oh, axis=0, keepdims=True) * 1e-9
+        # z_ok-gated so interior invalid measurement slots stay a strict no-op
+        logw = jnp.where(
+            z_ok, logw + jnp.sum(oh, axis=0, keepdims=True) * 1e-9, logw
+        )
         return mx, my, ca, cb, cc, cd, detp, cnt, logw
 
     # gather matched slot by one-hot contraction (sublane reduction)

@@ -123,10 +123,17 @@ def hough_lines(points: jax.Array, valid: jax.Array,
     # rho = x cos(theta) + y sin(theta)  (cv2 convention, image origin)
     rho = ex_s[:, None].astype(jnp.float32) * cos_t[None, :] + \
           ey_s[:, None].astype(jnp.float32) * sin_t[None, :]      # [N*D, T]
-    rho_idx = jnp.clip(jnp.round(rho).astype(jnp.int32) + r_half, 0, r_bins - 1)
+    rho_idx = jnp.round(rho).astype(jnp.int32) + r_half
+    # static accumulator extent: |rho| < r_bins/2 px (~20.5 m at scale 100
+    # with the default 4096 bins).  Points beyond it simply don't vote —
+    # clipping them into the boundary bins would alias far geometry into
+    # phantom lines.  Scans larger than the extent need a bigger
+    # config.hough_rho_bins (or a smaller hough_scale).
+    in_extent = (rho_idx >= 0) & (rho_idx < r_bins)
+    rho_idx = jnp.clip(rho_idx, 0, r_bins - 1)
     t_idx = jnp.broadcast_to(jnp.arange(t_bins, dtype=jnp.int32)[None, :], rho_idx.shape)
     flat = (t_idx * r_bins + rho_idx).reshape(-1)
-    w = jnp.broadcast_to(weight[:, None], rho_idx.shape).reshape(-1)
+    w = (weight[:, None] * in_extent.astype(jnp.float32)).reshape(-1)
     acc = jnp.zeros((t_bins * r_bins,), jnp.float32).at[flat].add(w)
     acc = acc.reshape(t_bins, r_bins)
 

@@ -261,3 +261,19 @@ def test_fastslam_step_jits_and_runs():
         st2, pose = step(st2, jnp.float32(0.0), jnp.float32(0.4), ms, cfg)
     assert np.isfinite(np.asarray(pose)).all()
     assert np.isfinite(np.asarray(st2.log_weights)).all()
+
+
+def test_parity_planes_requires_lane_tile_multiple():
+    """The planes engine pads the particle count up to the Pallas lane tile
+    and runs the padded entries as real particles; under the parity contract
+    that would silently change N, so parity runs only at counts the padding
+    leaves unchanged — engine='auto' falls back to blocks, engine='planes'
+    raises (ADVICE r1: core/state.py:177)."""
+    cfg = FastSLAMConfig(num_particles=100, parity_mode=True, use_pallas=True)
+    assert not cfg.use_planes_engine()  # auto -> blocks
+    with pytest.raises(ValueError):
+        cfg.replace(engine="planes").use_planes_engine()
+    ok = FastSLAMConfig(num_particles=128, parity_mode=True, use_pallas=True)
+    assert ok.use_planes_engine()
+    prod = FastSLAMConfig(num_particles=100, parity_mode=False, use_pallas=True)
+    assert prod.use_planes_engine()  # production runs the padded count
