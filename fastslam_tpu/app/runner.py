@@ -105,7 +105,14 @@ class SLAMRunner:
         # EMA state of the online residual estimate (host-side scalars)
         self._floor_xy = config.proposal_xy_floor
         self._floor_th = config.proposal_theta_floor
-        if self.uses_planes:
+        if self.uses_planes and self._adaptive_floors:
+            self._step = jax.jit(
+                lambda st, rot, trans, ms, fxy, fth: kernels.fastslam_step_planes(
+                    st, rot, trans, ms, config, proposal_floors=(fxy, fth)
+                ),
+                donate_argnums=0,
+            )
+        elif self.uses_planes:
             self._step = jax.jit(
                 lambda st, rot, trans, ms: kernels.fastslam_step_planes(
                     st, rot, trans, ms, config

@@ -158,14 +158,12 @@ class FastSLAMConfig:
     pallas_interpret: bool = False  # run Pallas kernels interpreted (CPU tests)
     # state layout carried between steps: "blocks" = [P, L, k] FilterState,
     # "planes" = the Pallas kernel's native [L, P] PlanesState (no per-step
-    # transposes; requires use_pallas and the motion/ICP proposal), "auto" =
+    # transposes; requires use_pallas), "auto" =
     # planes whenever eligible
     engine: str = "auto"
 
     def planes_eligible(self) -> bool:
         if not self.use_pallas:
-            return False
-        if not self.parity_mode and self.proposal_mode == "fastslam2":
             return False
         if self.parity_mode:
             # the planes engine rounds the particle count up to the Pallas

@@ -752,12 +752,37 @@ def resample_planes_state(state: PlanesState, idx: jax.Array,
     )
 
 
+def fs2_prior_scalars(
+    rotation: jax.Array,
+    translation: jax.Array,
+    config: FastSLAMConfig,
+    proposal_floors: Tuple[jax.Array, jax.Array] | None = None,
+):
+    """Traced scalars of the fastslam2 motion prior for one tick (or ``[C]``
+    vectors for a chunk): squared floors and the rotation-XOR-translation
+    variance structure of :func:`fastslam2_propose`'s prior block.
+
+    Returns ``(rot_eff, trans_eff, s_t2, s_r2, fxy)``.
+    """
+    fxy_f, fth_f = (proposal_floors if proposal_floors is not None
+                    else (None, None))
+    fxy = (config.proposal_xy_floor if fxy_f is None else fxy_f) ** 2
+    fth = (config.proposal_theta_floor if fth_f is None else fth_f) ** 2
+    rotating = rotation != 0.0
+    rot_eff = jnp.where(rotating, rotation, 0.0)
+    trans_eff = jnp.where(rotating, 0.0, translation)
+    s_t2 = jnp.where(rotating, 0.0, config.translation_noise ** 2) + fxy
+    s_r2 = jnp.where(rotating, config.rotation_noise ** 2, 0.0) + fth
+    return rot_eff, trans_eff, s_t2, s_r2, fxy
+
+
 def fastslam_step_planes(
     state: PlanesState,
     rotation: jax.Array,
     translation: jax.Array,
     measurements: Measurements,
     config: FastSLAMConfig,
+    proposal_floors: Tuple[jax.Array, jax.Array] | None = None,
     *,
     assoc_bf16: bool = False,
     _skip_ekf: bool = False,
@@ -767,41 +792,71 @@ def fastslam_step_planes(
     Identical math and RNG stream to :func:`fastslam_step` with
     ``use_pallas=True``, but the landmark state stays in the kernel's native
     ``[L, P]`` layout between steps — no per-step ``[P, L] <-> [L, P]``
-    transposes (~600 MB HBM/step saved at P=100k, L=64).  Motion-model
-    proposal only (the fastslam2 proposal path works on ``[P, L, k]`` blocks).
-    """
-    if config.proposal_mode == "fastslam2" and not config.parity_mode:
-        raise NotImplementedError(
-            "planes step supports the motion-model proposal; use "
-            "fastslam_step for proposal_mode='fastslam2'"
-        )
-    from fastslam_tpu.core.pallas_kernels import fused_update_planes
+    transposes (~600 MB HBM/step saved at P=100k, L=64).
 
+    ``proposal_mode='fastslam2'`` (production only) runs the fused
+    proposal+EKF kernel: the measurement-informed pose posterior
+    (:func:`fastslam2_propose`'s math) accumulates, samples, and applies the
+    landmark EKF in ONE kernel invocation with the planes VMEM-resident —
+    the in-kernel trig is polynomial (~1e-7), so results track the blocks
+    path to float tolerance rather than bit-exactly.
+    """
     rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
     p = state.num_particles
     dt = state.poses.dtype
 
-    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
-    trans_noise = config.translation_noise * jax.random.normal(
-        k_trans, (p,), dtype=dt
-    )
-    poses = propagate_particles(
-        state.poses, rotation, translation, rot_noise, trans_noise
-    )
-    state = state._replace(poses=poses, rng=rng)
+    if config.proposal_mode == "fastslam2" and not config.parity_mode:
+        from fastslam_tpu.core.pallas_kernels import fused_fs2_planes
 
-    logw, mx, my, ca, cb, cc, cd, cnt = fused_update_planes(
-        state.poses, state.log_weights,
-        state.lm_mx, state.lm_my, state.lm_ca, state.lm_cb,
-        state.lm_cc, state.lm_cd, state.lm_count,
-        measurements.range_bearing, measurements.valid, config,
-        interpret=config.pallas_interpret, assoc_bf16=assoc_bf16,
-        _skip_ekf=_skip_ekf,
-    )
-    state = state._replace(
-        log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb,
-        lm_cc=cc, lm_cd=cd, lm_count=cnt,
-    )
+        noise = jax.random.normal(k_rot, (p, 3), dtype=dt)
+        rot_eff, trans_eff, s_t2, s_r2, fxy = fs2_prior_scalars(
+            rotation, translation, config, proposal_floors
+        )
+        # deterministic mean-motion prediction (exact XLA trig; matches
+        # fastslam2_propose's prediction block bit-for-bit)
+        yaw_pred = wrap_angle(state.poses[:, 2] + rot_eff)
+        px = state.poses[:, 0] + trans_eff * jnp.cos(yaw_pred)
+        py = state.poses[:, 1] + trans_eff * jnp.sin(yaw_pred)
+        pred = jnp.stack([px, py, yaw_pred], axis=-1)
+
+        poses, logw, mx, my, ca, cb, cc, cd, cnt = fused_fs2_planes(
+            pred, state.log_weights,
+            state.lm_mx, state.lm_my, state.lm_ca, state.lm_cb,
+            state.lm_cc, state.lm_cd, state.lm_count,
+            measurements.range_bearing, measurements.valid,
+            noise, s_t2, s_r2, fxy, config,
+            interpret=config.pallas_interpret,
+        )
+        state = state._replace(
+            poses=poses, log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca,
+            lm_cb=cb, lm_cc=cc, lm_cd=cd, lm_count=cnt, rng=rng,
+        )
+    else:
+        from fastslam_tpu.core.pallas_kernels import fused_update_planes
+
+        rot_noise = config.rotation_noise * jax.random.normal(
+            k_rot, (p,), dtype=dt
+        )
+        trans_noise = config.translation_noise * jax.random.normal(
+            k_trans, (p,), dtype=dt
+        )
+        poses = propagate_particles(
+            state.poses, rotation, translation, rot_noise, trans_noise
+        )
+        state = state._replace(poses=poses, rng=rng)
+
+        logw, mx, my, ca, cb, cc, cd, cnt = fused_update_planes(
+            state.poses, state.log_weights,
+            state.lm_mx, state.lm_my, state.lm_ca, state.lm_cb,
+            state.lm_cc, state.lm_cd, state.lm_count,
+            measurements.range_bearing, measurements.valid, config,
+            interpret=config.pallas_interpret, assoc_bf16=assoc_bf16,
+            _skip_ekf=_skip_ekf,
+        )
+        state = state._replace(
+            log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb,
+            lm_cc=cc, lm_cd=cd, lm_count=cnt,
+        )
 
     log_w = normalize_log_weights(state.log_weights, config)
     state = state._replace(log_weights=log_w)
@@ -826,6 +881,7 @@ def fastslam_steps_planes_chunked(
     translations: jax.Array,  # [C]
     measurements: Measurements,  # range_bearing [C, M, 2], valid [C, M]
     config: FastSLAMConfig,
+    proposal_floors: Tuple[jax.Array, jax.Array] | None = None,
     *,
     assoc_bf16: bool = False,
 ) -> Tuple[PlanesState, jax.Array]:
@@ -862,35 +918,55 @@ def fastslam_steps_planes_chunked(
             "chunked execution is a production-mode feature; parity mode "
             "resamples per tick (fast_slam_2.py:62) — use fastslam_step_planes"
         )
-    if config.proposal_mode == "fastslam2":
-        raise NotImplementedError(
-            "chunked step supports the motion-model proposal"
-        )
-    from fastslam_tpu.core.pallas_kernels import fused_update_planes_multi
-
     rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
     p = state.num_particles
     c = rotations.shape[0]
     dt = state.poses.dtype
 
-    # reference motion structure (fast_slam_2.py:77-82): per tick, EITHER
-    # rotation with rotation noise OR translation with translation noise
-    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (c, p), dtype=dt)
-    trans_noise = config.translation_noise * jax.random.normal(
-        k_trans, (c, p), dtype=dt
-    )
-    rotating = (rotations != 0.0)[:, None]
-    noisy_rot = jnp.where(rotating, rotations[:, None] + rot_noise, 0.0)
-    noisy_trans = jnp.where(rotating, 0.0, translations[:, None] + trans_noise)
+    if config.proposal_mode == "fastslam2":
+        from fastslam_tpu.core.pallas_kernels import fused_fs2_planes_multi
 
-    tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = fused_update_planes_multi(
-        state.poses, state.log_weights,
-        state.lm_mx, state.lm_my, state.lm_ca, state.lm_cb,
-        state.lm_cc, state.lm_cd, state.lm_count,
-        measurements.range_bearing, measurements.valid,
-        noisy_rot, noisy_trans, config,
-        interpret=config.pallas_interpret, assoc_bf16=assoc_bf16,
-    )
+        noise = jax.random.normal(k_rot, (c, 3, p), dtype=dt)
+        rot_eff, trans_eff, s_t2, s_r2, fxy = fs2_prior_scalars(
+            rotations, translations, config, proposal_floors
+        )
+        tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = (
+            fused_fs2_planes_multi(
+                state.poses, state.log_weights,
+                state.lm_mx, state.lm_my, state.lm_ca, state.lm_cb,
+                state.lm_cc, state.lm_cd, state.lm_count,
+                measurements.range_bearing, measurements.valid,
+                noise, rot_eff, trans_eff, s_t2, s_r2, fxy, config,
+                interpret=config.pallas_interpret,
+            )
+        )
+    else:
+        from fastslam_tpu.core.pallas_kernels import fused_update_planes_multi
+
+        # reference motion structure (fast_slam_2.py:77-82): per tick, EITHER
+        # rotation with rotation noise OR translation with translation noise
+        rot_noise = config.rotation_noise * jax.random.normal(
+            k_rot, (c, p), dtype=dt
+        )
+        trans_noise = config.translation_noise * jax.random.normal(
+            k_trans, (c, p), dtype=dt
+        )
+        rotating = (rotations != 0.0)[:, None]
+        noisy_rot = jnp.where(rotating, rotations[:, None] + rot_noise, 0.0)
+        noisy_trans = jnp.where(
+            rotating, 0.0, translations[:, None] + trans_noise
+        )
+
+        tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = (
+            fused_update_planes_multi(
+                state.poses, state.log_weights,
+                state.lm_mx, state.lm_my, state.lm_ca, state.lm_cb,
+                state.lm_cc, state.lm_cd, state.lm_count,
+                measurements.range_bearing, measurements.valid,
+                noisy_rot, noisy_trans, config,
+                interpret=config.pallas_interpret, assoc_bf16=assoc_bf16,
+            )
+        )
 
     # per-tick pose estimates: argmax of the (unnormalized) per-tick weights
     best = jnp.argmax(tlogw, axis=1)                            # [C]

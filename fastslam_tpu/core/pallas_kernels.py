@@ -98,6 +98,30 @@ def _wrap_pi(x):
     return x
 
 
+def _sin_cos(x):
+    """Single-precision (sin, cos) for |x| <= pi — Cephes-style minimax
+    polynomials with branch-free quadrant folding (Mosaic lowers no sin/cos;
+    max error ~1 ulp over [-pi, pi]).  Wrap the argument with :func:`_wrap_pi`
+    first if it can exceed pi."""
+    y = jnp.abs(x)
+    sign_s = jnp.where(x < 0.0, -1.0, 1.0)
+    # quadrant fold: sin(pi - y) = sin(y), cos(pi - y) = -cos(y)
+    hi = y > _PI / 2.0
+    z = jnp.where(hi, _PI - y, y)
+    sign_c = jnp.where(hi, -1.0, 1.0)
+    # octant fold to [0, pi/4]: sin(z) = cos(pi/2 - z) and vice versa
+    octant = z > _PI / 4.0
+    w = jnp.where(octant, _PI / 2.0 - z, z)
+    ww = w * w
+    sp = ((-1.9515295891e-4 * ww + 8.3321608736e-3) * ww
+          - 1.6666654611e-1) * ww * w + w
+    cp = ((2.443315711809948e-5 * ww - 1.388731625493765e-3) * ww
+          + 4.166664568298827e-2) * ww * ww - 0.5 * ww + 1.0
+    sin_z = jnp.where(octant, cp, sp)
+    cos_z = jnp.where(octant, sp, cp)
+    return sign_s * sin_z, sign_c * cos_z
+
+
 def _lane_tile(p: int, max_tile: int = 256) -> int:
     """Particle (lane) tile: a multiple of 128 (Mosaic lane-tiling rule);
     the wrapper pads the particle axis up to a tile multiple.
@@ -128,11 +152,15 @@ def _round_up(x: int, m: int) -> int:
 def _apply_measurement(
     carry, pose_rows, z_scalars, *,
     slot, gate, meas_noise, default_cov, parity, assoc_bf16, skip_ekf,
+    weight_update: bool = True,
 ):
     """One measurement through association + 2x2 EKF + weighting, on a
     particle tile in the planes layout.  Shared by the single-tick kernel
     (:func:`_fused_update_kernel`) and the multi-tick chunked kernel
     (:func:`_fused_multi_kernel`) — the arithmetic must stay identical.
+    ``weight_update=False`` runs the map EKF without multiplying the
+    measurement likelihood into the weights (the FastSLAM 2.0 proposal
+    already weighted by the measurement evidence).
 
     carry:      (mx, my, ca, cb, cc, cd [L, T], detp [L, T], cnt, logw [1, T])
     pose_rows:  (px, py, yaw, cyaw, syaw) as [1, T] rows
@@ -307,7 +335,8 @@ def _apply_measurement(
     )
 
     cnt = cnt + do_append.astype(jnp.int32)
-    logw = jnp.where(do_update, logw + log_lik, logw)
+    if weight_update:
+        logw = jnp.where(do_update, logw + log_lik, logw)
     return mx, my, ca, cb, cc, cd, detp, cnt, logw
 
 
@@ -554,6 +583,421 @@ def fused_update_planes(
 
 
 # ---------------------------------------------------------------------------
+# FastSLAM 2.0 measurement-informed proposal, fused in-kernel
+# ---------------------------------------------------------------------------
+
+def _accumulate_proposal(
+    acc, planes, pred_rows, prior_rows, z_scalars, *, slot, gate, meas_noise,
+):
+    """One measurement of the FastSLAM 2.0 proposal accumulation on a
+    particle tile — the in-kernel mirror of the scan body in
+    :func:`fastslam_tpu.core.kernels.fastslam2_propose` (same math, same
+    op order; association is the production packed-argmin).
+
+    acc:        (lam00 lam01 lam02 lam11 lam12 lam22, e0 e1 e2, logw_add)
+                as [1, T] rows — the pose information matrix / vector and
+                the evidence log-weight, accumulated across measurements.
+    planes:     (mx, my, ca, cb, cc, cd, detp) read-only [L, T] planes.
+    pred_rows:  (px, py, yaw, cyaw, syaw) [1, T] PREDICTED-pose rows.
+    prior_rows: (p00, p01, p11, s_r2) [1, T] motion-prior covariance rows.
+    z_scalars:  (dist_z, bearing_z, cos_b, sin_b, z_ok) SMEM scalars.
+    """
+    (lam00, lam01, lam02, lam11, lam12, lam22, e0a, e1a, e2a, logw_add) = acc
+    mx, my, ca, cb, cc, cd, detp = planes
+    px, py, yaw, cyaw, syaw = pred_rows
+    p00, p01, p11, s_r2 = prior_rows
+    dist_z, bearing_z, cos_b, sin_b, z_ok = z_scalars
+    l = mx.shape[0]
+    dt = mx.dtype
+
+    # associate against the world-frame observation from the PREDICTED pose
+    wx = px + dist_z * (cyaw * cos_b - syaw * sin_b)   # [1, T]
+    wy = py + dist_z * (syaw * cos_b + cyaw * sin_b)
+    dx_q = mx - wx
+    dy_q = my - wy
+    d2f = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
+    usable = detp > 0.0
+    inv_det = pl.reciprocal(jnp.where(usable, detp, 1.0), approx=True)
+    dist2 = jnp.maximum(d2f * inv_det, 0.0)
+    key = jax.lax.bitcast_convert_type(dist2, jnp.int32)
+    key = jnp.where(usable, (key & ~0xFF) | slot, _INVALID_KEY)
+    kmin = jnp.min(key, axis=0, keepdims=True)           # [1, T]
+    gate_bits = _f32_bits(gate * gate)
+    has_match = kmin <= (((gate_bits - 1) & ~0xFF) | 0xFF)
+    idx = kmin & 0xFF
+    onehot = (slot == idx) & has_match
+    oh = onehot.astype(dt)
+    use = has_match & z_ok
+
+    # gather the matched landmark (zeros when no match — gated below)
+    mu_x = jnp.sum(mx * oh, axis=0, keepdims=True)       # [1, T]
+    mu_y = jnp.sum(my * oh, axis=0, keepdims=True)
+    a = jnp.sum(ca * oh, axis=0, keepdims=True)
+    b = jnp.sum(cb * oh, axis=0, keepdims=True)
+    c = jnp.sum(cc * oh, axis=0, keepdims=True)
+    d = jnp.sum(cd * oh, axis=0, keepdims=True)
+
+    dx = mu_x - px
+    dy = mu_y - py
+    q = jnp.maximum(dx * dx + dy * dy, 1e-12)
+    rinv = jax.lax.rsqrt(q)
+    qinv = rinv * rinv
+    r = q * rinv
+    nu_r = dist_z - r
+    nu_b = _wrap_pi(bearing_z + yaw - _atan2(dy, dx))
+
+    # landmark-side innovation covariance S~ = Hm Sig Hm' + R
+    h00 = dx * rinv
+    h01 = dy * rinv
+    h10 = -dy * qinv
+    h11 = dx * qinv
+    u0 = h00 * a + h01 * c
+    u1 = h00 * b + h01 * d
+    v0 = h10 * a + h11 * c
+    v1 = h10 * b + h11 * d
+    s00 = u0 * h00 + u1 * h01 + meas_noise
+    s01 = u0 * h10 + u1 * h11
+    s11 = v0 * h10 + v1 * h11 + meas_noise
+    s_det = jnp.maximum(s00 * s11 - s01 * s01, 1e-18)
+    si = 1.0 / s_det
+    i00 = s11 * si
+    i01 = -s01 * si
+    i11 = s00 * si
+
+    # chi^2 innovation gate (99%, 2 dof): implausible innovations are likely
+    # mis-associations — they may down-weight the particle but must not PULL
+    # the proposal (kernels.fastslam2_propose uses the same 9.21 gate)
+    maha_gate = i00 * nu_r * nu_r + 2.0 * i01 * nu_r * nu_b + i11 * nu_b * nu_b
+    use = use & (maha_gate < 9.21)
+
+    # pose Jacobian Hx = [[-dx/r, -dy/r, 0], [dy/q, -dx/q, -1]]
+    g00, g01 = -h00, -h01
+    g10, g11_ = -h10, -h11
+
+    # Hx' S~^-1 Hx (symmetric 3x3) and Hx' S~^-1 nu  (g02 = 0, g12 = -1)
+    t00 = i00 * g00 + i01 * g10
+    t01 = i00 * g01 + i01 * g11_
+    t02 = -i01
+    t10 = i01 * g00 + i11 * g10
+    t11 = i01 * g01 + i11 * g11_
+    t12 = -i11
+
+    d00 = g00 * t00 + g10 * t10
+    d01 = g00 * t01 + g10 * t11
+    d02 = g00 * t02 + g10 * t12
+    d11 = g01 * t01 + g11_ * t11
+    d12 = g01 * t02 + g11_ * t12
+    d22 = -t12
+
+    e0 = t00 * nu_r + t10 * nu_b
+    e1 = t01 * nu_r + t11 * nu_b
+    e2 = t02 * nu_r + t12 * nu_b
+
+    usef = use.astype(dt)
+    lam00 = lam00 + usef * d00
+    lam01 = lam01 + usef * d01
+    lam02 = lam02 + usef * d02
+    lam11 = lam11 + usef * d11
+    lam12 = lam12 + usef * d12
+    lam22 = lam22 + usef * d22
+    e0a = e0a + usef * e0
+    e1a = e1a + usef * e1
+    e2a = e2a + usef * e2
+
+    # evidence weight N(nu; 0, S~ + Hx P0 Hx') — motion prior projected
+    # through Hx (P0 = [[p00,p01,0],[p01,p11,0],[0,0,s_r2]])
+    q00 = g00 * (p00 * g00 + p01 * g01) + g01 * (p01 * g00 + p11 * g01)
+    q01 = g00 * (p00 * g10 + p01 * g11_) + g01 * (p01 * g10 + p11 * g11_)
+    q11 = (g10 * (p00 * g10 + p01 * g11_) + g11_ * (p01 * g10 + p11 * g11_)
+           + s_r2)
+    z00 = s00 + q00
+    z01 = s01 + q01
+    z11 = s11 + q11
+    z_det = jnp.maximum(z00 * z11 - z01 * z01, 1e-30)
+    zi = 1.0 / z_det
+    maha = (z11 * nu_r * nu_r - 2.0 * z01 * nu_r * nu_b
+            + z00 * nu_b * nu_b) * zi
+    log_ev = -0.5 * (maha + jnp.log(z_det)) - _LOG_TWO_PI
+    logw_add = jnp.where(use, logw_add + log_ev, logw_add)
+
+    return (lam00, lam01, lam02, lam11, lam12, lam22, e0a, e1a, e2a, logw_add)
+
+
+def _proposal_prior_rows(cy, sy, s_t2, s_r2, fxy):
+    """Motion-prior covariance rows and the information-form initialization
+    of the pose Lambda (mirrors kernels.fastslam2_propose's prior block).
+    Returns ((p00, p01, p11, s_r2), (lam00..lam22))."""
+    p00 = cy * cy * s_t2 + sy * sy * fxy
+    p01 = cy * sy * (s_t2 - fxy)
+    p11 = sy * sy * s_t2 + cy * cy * fxy
+    det_p = p00 * p11 - p01 * p01
+    i_p = 1.0 / jnp.maximum(det_p, 1e-18)
+    zero = jnp.zeros_like(p00)
+    lam = (p11 * i_p, -p01 * i_p, zero, p00 * i_p, zero,
+           (1.0 / s_r2) * jnp.ones_like(p00))
+    return (p00, p01, p11, s_r2 * jnp.ones_like(p00)), lam
+
+
+def _solve_sample_pose(lam, eta, pred_rows, noise_rows):
+    """Sigma = Lambda^-1, mu = pred + Sigma eta, pose = mu + chol(Sigma) n —
+    all on [1, T] rows (in-kernel mirror of kernels._inv3x3_sym +
+    kernels._chol3x3_sym with the same 1e-9 jitter)."""
+    l00, l01, l02, l11, l12, l22 = lam
+    e0, e1, e2 = eta
+    px, py, yaw = pred_rows
+    n0, n1, n2 = noise_rows
+
+    co00 = l11 * l22 - l12 * l12
+    co01 = l02 * l12 - l01 * l22
+    co02 = l01 * l12 - l02 * l11
+    det = l00 * co00 + l01 * co01 + l02 * co02
+    det = jnp.where(jnp.abs(det) > 1e-18, det, 1e-18)
+    inv_det = 1.0 / det
+    s00 = co00 * inv_det
+    s01 = co01 * inv_det
+    s02 = co02 * inv_det
+    s11 = (l00 * l22 - l02 * l02) * inv_det
+    s12 = (l01 * l02 - l00 * l12) * inv_det
+    s22 = (l00 * l11 - l01 * l01) * inv_det
+
+    mu0 = px + s00 * e0 + s01 * e1 + s02 * e2
+    mu1 = py + s01 * e0 + s11 * e1 + s12 * e2
+    mu2 = yaw + s02 * e0 + s12 * e1 + s22 * e2
+
+    a = s00 + 1e-9
+    d = s11 + 1e-9
+    f = s22 + 1e-9
+    c00 = jnp.sqrt(jnp.maximum(a, 1e-18))
+    c10 = s01 / c00
+    c20 = s02 / c00
+    c11 = jnp.sqrt(jnp.maximum(d - c10 * c10, 1e-18))
+    c21 = (s12 - c20 * c10) / c11
+    c22 = jnp.sqrt(jnp.maximum(f - c20 * c20 - c21 * c21, 1e-18))
+
+    new_x = mu0 + c00 * n0
+    new_y = mu1 + c10 * n0 + c11 * n1
+    new_yaw = _wrap_pi(mu2 + c20 * n0 + c21 * n1 + c22 * n2)
+    return new_x, new_y, new_yaw
+
+
+def _fused_fs2_kernel(
+    # scalar-prefetch
+    z_ref,        # [M, 4] SMEM: (distance, bearing, cos(bearing), sin(bearing))
+    zvalid_ref,   # [M, 1] SMEM int32
+    mlast_ref,    # [1] SMEM int32
+    prior_ref,    # [3] SMEM f32: (s_t2, s_r2, fxy) — traced prior scalars
+    # inputs (VMEM)
+    px_ref, py_ref, yaw_ref, cy_ref, sy_ref,   # [1, T] PREDICTED pose rows
+    logw_in,                                    # [1, T]
+    n0_ref, n1_ref, n2_ref,                     # [1, T] standard-normal draws
+    mx_in, my_in, ca_in, cb_in, cc_in, cd_in,   # [L, T]
+    cnt_in,                                     # [1, T] int32
+    # outputs
+    x_out, y_out, yaw_out, logw_out,
+    mx_out, my_out, ca_out, cb_out, cc_out, cd_out, cnt_out,
+    *,
+    num_measurements: int,
+    gate: float,
+    meas_noise: float,
+    default_cov: float,
+):
+    """One FastSLAM 2.0 tick on a particle tile, planes VMEM-resident:
+
+      1. accumulate the pose-posterior information (Lambda, eta) and the
+         evidence log-weight over all measurements at the PREDICTED pose
+         (association + per-measurement Gauss-Newton terms);
+      2. solve + Cholesky-sample the new pose in-kernel (the sampled yaw's
+         cos/sin come from :func:`_sin_cos` — Mosaic lowers no trig);
+      3. run the landmark-EKF measurement loop at the SAMPLED pose with
+         ``weight_update=False`` (evidence already carries the weight).
+
+    The [L, T] planes stream from HBM ONCE for both measurement loops —
+    the XLA path (kernels.fastslam2_propose + the lax.scan EKF) re-reads
+    them 2M times per tick.  Production mode only.
+    """
+    l, t = mx_in.shape
+    px = px_ref[:, :]
+    py = py_ref[:, :]
+    yaw = yaw_ref[:, :]
+    cyaw = cy_ref[:, :]
+    syaw = sy_ref[:, :]
+    logw = logw_in[:, :]
+
+    mx = mx_in[:, :]
+    my = my_in[:, :]
+    ca = ca_in[:, :]
+    cb = cb_in[:, :]
+    cc = cc_in[:, :]
+    cd = cd_in[:, :]
+    cnt = cnt_in[:, :]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (l, t), 0)
+    detp = jnp.where(slot < cnt, ca * cd - cb * cc, -1.0)
+
+    prior_rows, lam = _proposal_prior_rows(
+        cyaw, syaw, prior_ref[0], prior_ref[1], prior_ref[2]
+    )
+    zero = jnp.zeros_like(px)
+    acc = lam + (zero, zero, zero, zero)
+    mtrip = jnp.minimum(mlast_ref[0], num_measurements)
+
+    def _accum_body(m, acc):
+        return _accumulate_proposal(
+            acc, (mx, my, ca, cb, cc, cd, detp),
+            (px, py, yaw, cyaw, syaw), prior_rows,
+            (z_ref[m, 0], z_ref[m, 1], z_ref[m, 2], z_ref[m, 3],
+             zvalid_ref[m, 0] > 0),
+            slot=slot, gate=gate, meas_noise=meas_noise,
+        )
+
+    acc = jax.lax.fori_loop(0, mtrip, _accum_body, acc)
+    lam = acc[:6]
+    eta = acc[6:9]
+    logw = logw + acc[9]
+
+    new_x, new_y, new_yaw = _solve_sample_pose(
+        lam, eta, (px, py, yaw),
+        (n0_ref[:, :], n1_ref[:, :], n2_ref[:, :]),
+    )
+    new_sy, new_cy = _sin_cos(new_yaw)
+
+    def _measurement_body(m, carry):
+        return _apply_measurement(
+            carry,
+            (new_x, new_y, new_yaw, new_cy, new_sy),
+            (z_ref[m, 0], z_ref[m, 1], z_ref[m, 2], z_ref[m, 3],
+             zvalid_ref[m, 0] > 0),
+            slot=slot, gate=gate, meas_noise=meas_noise,
+            default_cov=default_cov, parity=False, assoc_bf16=False,
+            skip_ekf=False, weight_update=False,
+        )
+
+    mx, my, ca, cb, cc, cd, detp, cnt, logw = jax.lax.fori_loop(
+        0, mtrip, _measurement_body,
+        (mx, my, ca, cb, cc, cd, detp, cnt, logw),
+    )
+
+    x_out[:, :] = new_x
+    y_out[:, :] = new_y
+    yaw_out[:, :] = new_yaw
+    logw_out[:, :] = logw
+    mx_out[:, :] = mx
+    my_out[:, :] = my
+    ca_out[:, :] = ca
+    cb_out[:, :] = cb
+    cc_out[:, :] = cc
+    cd_out[:, :] = cd
+    cnt_out[:, :] = cnt
+
+
+def fused_fs2_planes(
+    pred_poses: jax.Array,   # [P, 3] PREDICTED (mean-motion) poses
+    log_weights: jax.Array,  # [P]
+    lm_mx: jax.Array,        # [L, P]
+    lm_my: jax.Array,
+    lm_ca: jax.Array,
+    lm_cb: jax.Array,
+    lm_cc: jax.Array,
+    lm_cd: jax.Array,
+    lm_count: jax.Array,     # [P] int32
+    z: jax.Array,            # [M, 2]
+    z_valid: jax.Array,      # [M] bool
+    noise: jax.Array,        # [P, 3] standard-normal pose-sample draws
+    s_t2: jax.Array,         # scalar: prior translation variance (+ xy floor)
+    s_r2: jax.Array,         # scalar: prior rotation variance (+ theta floor)
+    fxy: jax.Array,          # scalar: squared xy floor (lateral prior var)
+    config: FastSLAMConfig,
+    *,
+    interpret: bool = False,
+):
+    """Planes-native fused FastSLAM 2.0 tick: measurement-informed proposal +
+    evidence weighting + landmark EKF in ONE kernel invocation.
+
+    The caller supplies the deterministic mean-motion ``pred_poses`` (exact
+    XLA trig) and the traced prior scalars; everything pose-posterior happens
+    in-kernel.  Returns ``(poses [P, 3], log_weights [P], mx, my, ca, cb,
+    cc, cd [L, P], lm_count [P])``.
+    """
+    l, p = lm_mx.shape
+    m = z.shape[0]
+    if l > 256:
+        raise ValueError("packed argmin supports at most 256 landmark slots")
+    if p < 128:
+        tile = p
+    elif p % 128:
+        raise ValueError(
+            f"planes particle count {p} must be a multiple of 128"
+        )
+    else:
+        tile = _lane_tile(p)
+        while p % tile:
+            tile -= 128
+    grid = (p // tile,)
+    dt = lm_mx.dtype
+
+    row = lambda x: x.reshape(1, p)
+    plane = pl.BlockSpec((l, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _fused_fs2_kernel,
+        num_measurements=m,
+        gate=float(config.max_landmark_distance),
+        meas_noise=float(config.measurement_noise),
+        default_cov=float(config.default_landmark_cov),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[rowspec] * 9 + [plane] * 6 + [rowspec],
+        out_specs=[rowspec] * 4 + [plane] * 6 + [rowspec],
+    )
+
+    out_shapes = (
+        *([jax.ShapeDtypeStruct((1, p), dt)] * 4),  # x y yaw logw
+        *([jax.ShapeDtypeStruct((l, p), dt)] * 6),  # mx my ca cb cc cd
+        jax.ShapeDtypeStruct((1, p), jnp.int32),    # cnt
+    )
+
+    z_aug = jnp.concatenate(
+        [z.astype(dt), jnp.cos(z[:, 1:2]).astype(dt),
+         jnp.sin(z[:, 1:2]).astype(dt)],
+        axis=1,
+    )
+    mlast = jnp.max(
+        jnp.where(z_valid, jnp.arange(1, m + 1, dtype=jnp.int32), 0)
+    ).reshape(1)
+    prior = jnp.stack([s_t2, s_r2, fxy]).astype(jnp.float32)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        z_aug,
+        z_valid.astype(jnp.int32).reshape(m, 1),
+        mlast,
+        prior,
+        row(pred_poses[:, 0]), row(pred_poses[:, 1]), row(pred_poses[:, 2]),
+        row(jnp.cos(pred_poses[:, 2])), row(jnp.sin(pred_poses[:, 2])),
+        row(log_weights),
+        row(noise[:, 0]), row(noise[:, 1]), row(noise[:, 2]),
+        lm_mx, lm_my, lm_ca, lm_cb, lm_cc, lm_cd,
+        row(lm_count),
+    )
+    x, y, yaw, logw = (o.reshape(p) for o in outs[:4])
+    mx, my, ca, cb, cc, cd = outs[4:10]
+    cnt = outs[10].reshape(p)
+    poses = jnp.stack([x, y, yaw], axis=-1)
+    return poses, logw, mx, my, ca, cb, cc, cd, cnt
+
+
+# ---------------------------------------------------------------------------
 # multi-tick (chunked) fused update: C ticks per kernel invocation
 # ---------------------------------------------------------------------------
 
@@ -792,6 +1236,271 @@ def fused_update_planes_multi(
         row(log_weights),
         pad_c(noisy_rot.astype(dt)), pad_c(noisy_trans.astype(dt)),
         pad_c(jnp.cos(noisy_rot).astype(dt)), pad_c(jnp.sin(noisy_rot).astype(dt)),
+        lm_mx, lm_my, lm_ca, lm_cb, lm_cc, lm_cd,
+        row(lm_count),
+    )
+    tx, ty, tyaw, tlogw = (o[:c] for o in outs[:4])
+    mx, my, ca, cb, cc, cd, cnt = outs[4:]
+    return tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt.reshape(p)
+
+
+# ---------------------------------------------------------------------------
+# multi-tick chunked FastSLAM 2.0: C proposal+EKF ticks per invocation
+# ---------------------------------------------------------------------------
+
+def _fused_fs2_multi_kernel(
+    # scalar-prefetch
+    z_ref,        # [C*M, 4] SMEM
+    zvalid_ref,   # [C*M, 1] SMEM int32
+    mlast_ref,    # [C] SMEM int32
+    motion_ref,   # [C, 4] SMEM f32: (rot_eff, trans_eff, cos_rot, sin_rot)
+    prior_ref,    # [C, 3] SMEM f32: (s_t2, s_r2, fxy)
+    # inputs (VMEM)
+    px_ref, py_ref, yaw_ref, cy_ref, sy_ref,    # [1, T] initial pose rows
+    logw_in,                                     # [1, T]
+    n0_ref, n1_ref, n2_ref,                      # [Cp, T] per-tick noise rows
+    mx_in, my_in, ca_in, cb_in, cc_in, cd_in,    # [L, T]
+    cnt_in,                                      # [1, T] int32
+    # outputs
+    tx_out, ty_out, tyaw_out, tlogw_out,         # [Cp, T]
+    mx_out, my_out, ca_out, cb_out, cc_out, cd_out,
+    cnt_out,
+    *,
+    num_ticks: int,
+    num_measurements: int,
+    gate: float,
+    meas_noise: float,
+    default_cov: float,
+):
+    """C FastSLAM 2.0 ticks on one particle tile, landmark planes
+    VMEM-resident throughout (the fs2 analog of :func:`_fused_multi_kernel`).
+
+    Per tick: deterministic mean-motion prediction (the per-tick rotation is
+    a SHARED scalar, so its exact cos/sin ride in SMEM and the carried
+    (cos yaw, sin yaw) advance by angle addition), proposal accumulation
+    over the tick's measurements at the predicted pose, in-kernel
+    solve + Cholesky sample (fresh cos/sin from :func:`_sin_cos` each tick —
+    no drift accumulation), then the landmark-EKF loop at the sampled pose
+    with ``weight_update=False``.  Weight normalization / Neff / resampling
+    happen OUTSIDE at chunk boundaries, as for the motion-model chunked
+    kernel.
+    """
+    l, t = mx_in.shape
+    px = px_ref[:, :]
+    py = py_ref[:, :]
+    yaw = yaw_ref[:, :]
+    cyaw = cy_ref[:, :]
+    syaw = sy_ref[:, :]
+    logw = logw_in[:, :]
+
+    mx = mx_in[:, :]
+    my = my_in[:, :]
+    ca = ca_in[:, :]
+    cb = cb_in[:, :]
+    cc = cc_in[:, :]
+    cd = cd_in[:, :]
+    cnt = cnt_in[:, :]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (l, t), 0)
+    detp = jnp.where(slot < cnt, ca * cd - cb * cc, -1.0)
+
+    def tick_body(k, carry):
+        px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
+
+        # ---- deterministic mean-motion prediction ----
+        rot = motion_ref[k, 0]
+        trn = motion_ref[k, 1]
+        cr = motion_ref[k, 2]
+        sr = motion_ref[k, 3]
+        yaw_p = _wrap_pi(yaw + rot)
+        cy_p = cyaw * cr - syaw * sr
+        sy_p = syaw * cr + cyaw * sr
+        px_p = px + trn * cy_p
+        py_p = py + trn * sy_p
+
+        # ---- proposal accumulation at the predicted pose ----
+        prior_rows, lam = _proposal_prior_rows(
+            cy_p, sy_p, prior_ref[k, 0], prior_ref[k, 1], prior_ref[k, 2]
+        )
+        zero = jnp.zeros_like(px_p)
+        acc = lam + (zero, zero, zero, zero)
+        mtrip = jnp.minimum(mlast_ref[k], num_measurements)
+
+        def _accum_body(m, acc):
+            zi = k * num_measurements + m
+            return _accumulate_proposal(
+                acc, (mx, my, ca, cb, cc, cd, detp),
+                (px_p, py_p, yaw_p, cy_p, sy_p), prior_rows,
+                (z_ref[zi, 0], z_ref[zi, 1], z_ref[zi, 2], z_ref[zi, 3],
+                 zvalid_ref[zi, 0] > 0),
+                slot=slot, gate=gate, meas_noise=meas_noise,
+            )
+
+        acc = jax.lax.fori_loop(0, mtrip, _accum_body, acc)
+        logw = logw + acc[9]
+
+        px, py, yaw = _solve_sample_pose(
+            acc[:6], acc[6:9], (px_p, py_p, yaw_p),
+            (n0_ref[pl.ds(k, 1), :], n1_ref[pl.ds(k, 1), :],
+             n2_ref[pl.ds(k, 1), :]),
+        )
+        syaw, cyaw = _sin_cos(yaw)
+
+        # ---- landmark EKF at the sampled pose (no weight multiply) ----
+        def _measurement_body(m, mcarry):
+            zi = k * num_measurements + m
+            return _apply_measurement(
+                mcarry,
+                (px, py, yaw, cyaw, syaw),
+                (z_ref[zi, 0], z_ref[zi, 1], z_ref[zi, 2], z_ref[zi, 3],
+                 zvalid_ref[zi, 0] > 0),
+                slot=slot, gate=gate, meas_noise=meas_noise,
+                default_cov=default_cov, parity=False, assoc_bf16=False,
+                skip_ekf=False, weight_update=False,
+            )
+
+        mx, my, ca, cb, cc, cd, detp, cnt, logw = jax.lax.fori_loop(
+            0, mtrip, _measurement_body,
+            (mx, my, ca, cb, cc, cd, detp, cnt, logw),
+        )
+
+        tx_out[pl.ds(k, 1), :] = px
+        ty_out[pl.ds(k, 1), :] = py
+        tyaw_out[pl.ds(k, 1), :] = yaw
+        tlogw_out[pl.ds(k, 1), :] = logw
+
+        return px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw
+
+    (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw) = (
+        jax.lax.fori_loop(
+            0, num_ticks, tick_body,
+            (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw),
+        )
+    )
+
+    mx_out[:, :] = mx
+    my_out[:, :] = my
+    ca_out[:, :] = ca
+    cb_out[:, :] = cb
+    cc_out[:, :] = cc
+    cd_out[:, :] = cd
+    cnt_out[:, :] = cnt
+
+
+def fused_fs2_planes_multi(
+    poses: jax.Array,        # [P, 3]
+    log_weights: jax.Array,  # [P]
+    lm_mx: jax.Array,        # [L, P]
+    lm_my: jax.Array,
+    lm_ca: jax.Array,
+    lm_cb: jax.Array,
+    lm_cc: jax.Array,
+    lm_cd: jax.Array,
+    lm_count: jax.Array,     # [P] int32
+    z: jax.Array,            # [C, M, 2]
+    z_valid: jax.Array,      # [C, M] bool
+    noise: jax.Array,        # [C, 3, P] standard-normal pose-sample draws
+    rot_eff: jax.Array,      # [C] per-tick mean rotation (0 on trans ticks)
+    trans_eff: jax.Array,    # [C] per-tick mean translation (0 on rot ticks)
+    s_t2: jax.Array,         # [C] prior translation variance (+ xy floor)
+    s_r2: jax.Array,         # [C] prior rotation variance (+ theta floor)
+    fxy: jax.Array,          # scalar or [C]: squared xy floor
+    config: FastSLAMConfig,
+    *,
+    interpret: bool = False,
+):
+    """C chunked FastSLAM 2.0 ticks with VMEM-resident landmark planes.
+
+    Returns ``(tx, ty, tyaw, tlogw [C, P], mx, my, ca, cb, cc, cd [L, P],
+    lm_count [P])`` — same contract as :func:`fused_update_planes_multi`.
+    """
+    l, p = lm_mx.shape
+    c, m = z.shape[0], z.shape[1]
+    if l > 256:
+        raise ValueError("packed argmin supports at most 256 landmark slots")
+    if p < 128:
+        tile = p
+    elif p % 128:
+        raise ValueError(
+            f"planes particle count {p} must be a multiple of 128"
+        )
+    else:
+        tile = _lane_tile(p)
+        while p % tile:
+            tile -= 128
+    grid = (p // tile,)
+    dt = lm_mx.dtype
+
+    cp = _round_up(c, 8)
+    pad_c = lambda x: jnp.pad(x, ((0, cp - c), (0, 0))) if cp != c else x
+
+    row = lambda x: x.reshape(1, p)
+    plane = pl.BlockSpec((l, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    tickspec = pl.BlockSpec((cp, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _fused_fs2_multi_kernel,
+        num_ticks=c,
+        num_measurements=m,
+        gate=float(config.max_landmark_distance),
+        meas_noise=float(config.measurement_noise),
+        default_cov=float(config.default_landmark_cov),
+    )
+
+    out_shapes = (
+        *([jax.ShapeDtypeStruct((cp, p), dt)] * 4),   # tx ty tyaw tlogw
+        *([jax.ShapeDtypeStruct((l, p), dt)] * 6),
+        jax.ShapeDtypeStruct((1, p), jnp.int32),
+    )
+
+    zf = z.reshape(c * m, 2)
+    z_aug = jnp.concatenate(
+        [zf.astype(dt), jnp.cos(zf[:, 1:2]).astype(dt),
+         jnp.sin(zf[:, 1:2]).astype(dt)],
+        axis=1,
+    )
+    mlast = jnp.max(
+        jnp.where(z_valid, jnp.arange(1, m + 1, dtype=jnp.int32)[None, :], 0),
+        axis=1,
+    )
+    motion = jnp.stack(
+        [rot_eff, trans_eff, jnp.cos(rot_eff), jnp.sin(rot_eff)], axis=1
+    ).astype(jnp.float32)
+    prior = jnp.stack(
+        [s_t2, s_r2, jnp.broadcast_to(fxy, (c,))], axis=1
+    ).astype(jnp.float32)
+
+    # per-tick noise: three [Cp, T] component blocks (x, y, theta draws)
+    noise = noise.astype(dt)
+    n0 = pad_c(noise[:, 0, :])
+    n1 = pad_c(noise[:, 1, :])
+    n2 = pad_c(noise[:, 2, :])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=grid,
+        in_specs=[rowspec] * 6 + [tickspec] * 3 + [plane] * 6 + [rowspec],
+        out_specs=[tickspec] * 4 + [plane] * 6 + [rowspec],
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        z_aug,
+        z_valid.astype(jnp.int32).reshape(c * m, 1),
+        mlast,
+        motion,
+        prior,
+        row(poses[:, 0]), row(poses[:, 1]), row(poses[:, 2]),
+        row(jnp.cos(poses[:, 2])), row(jnp.sin(poses[:, 2])),
+        row(log_weights),
+        n0, n1, n2,
         lm_mx, lm_my, lm_ca, lm_cb, lm_cc, lm_cd,
         row(lm_count),
     )

@@ -145,8 +145,6 @@ def _constrained_planes_step(
     identical to kernels.fastslam_step_planes."""
     from jax import shard_map
 
-    from fastslam_tpu.core.pallas_kernels import fused_update_planes
-
     shardings = planes_state_sharding(mesh, config)
     pin = lambda s: jax.tree.map(jax.lax.with_sharding_constraint, s, shardings)
     state = pin(state)
@@ -154,37 +152,77 @@ def _constrained_planes_step(
     rng, k_rot, k_trans, k_u = jax.random.split(state.rng, 4)
     p = state.num_particles
     dt = state.poses.dtype
-    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
-    trans_noise = config.translation_noise * jax.random.normal(
-        k_trans, (p,), dtype=dt
-    )
-    poses = kernels.propagate_particles(
-        state.poses, rotation, translation, rot_noise, trans_noise
-    )
-    state = pin(state._replace(poses=poses, rng=rng))
-
     pax = config.particle_axis
     pspec = P(pax)
     plane_spec = P(None, pax)
 
-    def local(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid):
-        return fused_update_planes(
-            poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, config,
-            interpret=config.pallas_interpret,
-        )
+    if config.proposal_mode == "fastslam2" and not config.parity_mode:
+        from fastslam_tpu.core.pallas_kernels import fused_fs2_planes
 
-    logw, mx, my, ca, cb, cc, cd, cnt = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(pax, None), pspec) + (plane_spec,) * 6 + (pspec, P(), P()),
-        out_specs=(pspec,) + (plane_spec,) * 6 + (pspec,),
-        check_vma=False,
-    )(state.poses, state.log_weights, state.lm_mx, state.lm_my, state.lm_ca,
-      state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
-      measurements.range_bearing, measurements.valid)
-    state = pin(state._replace(
-        log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb,
-        lm_cc=cc, lm_cd=cd, lm_count=cnt,
-    ))
+        noise = jax.random.normal(k_rot, (p, 3), dtype=dt)
+        rot_eff, trans_eff, s_t2, s_r2, fxy = kernels.fs2_prior_scalars(
+            rotation, translation, config
+        )
+        yaw_pred = kernels.wrap_angle(state.poses[:, 2] + rot_eff)
+        px = state.poses[:, 0] + trans_eff * jnp.cos(yaw_pred)
+        py = state.poses[:, 1] + trans_eff * jnp.sin(yaw_pred)
+        pred = jnp.stack([px, py, yaw_pred], axis=-1)
+
+        def local_fs2(pred, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+                      noise, s_t2, s_r2, fxy):
+            return fused_fs2_planes(
+                pred, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+                noise, s_t2, s_r2, fxy, config,
+                interpret=config.pallas_interpret,
+            )
+
+        poses, logw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+            local_fs2, mesh=mesh,
+            in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
+                     + (pspec, P(), P(), P(pax, None), P(), P(), P()),
+            out_specs=(P(pax, None), pspec) + (plane_spec,) * 6 + (pspec,),
+            check_vma=False,
+        )(pred, state.log_weights, state.lm_mx, state.lm_my, state.lm_ca,
+          state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+          measurements.range_bearing, measurements.valid, noise,
+          s_t2, s_r2, fxy)
+        state = pin(state._replace(
+            poses=poses, log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca,
+            lm_cb=cb, lm_cc=cc, lm_cd=cd, lm_count=cnt, rng=rng,
+        ))
+    else:
+        from fastslam_tpu.core.pallas_kernels import fused_update_planes
+
+        rot_noise = config.rotation_noise * jax.random.normal(
+            k_rot, (p,), dtype=dt
+        )
+        trans_noise = config.translation_noise * jax.random.normal(
+            k_trans, (p,), dtype=dt
+        )
+        poses = kernels.propagate_particles(
+            state.poses, rotation, translation, rot_noise, trans_noise
+        )
+        state = pin(state._replace(poses=poses, rng=rng))
+
+        def local(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid):
+            return fused_update_planes(
+                poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, config,
+                interpret=config.pallas_interpret,
+            )
+
+        logw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
+                     + (pspec, P(), P()),
+            out_specs=(pspec,) + (plane_spec,) * 6 + (pspec,),
+            check_vma=False,
+        )(state.poses, state.log_weights, state.lm_mx, state.lm_my,
+          state.lm_ca, state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+          measurements.range_bearing, measurements.valid)
+        state = pin(state._replace(
+            log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb,
+            lm_cc=cc, lm_cd=cd, lm_count=cnt,
+        ))
 
     log_w = kernels.normalize_log_weights(state.log_weights, config)
     state = state._replace(log_weights=log_w)
@@ -236,8 +274,6 @@ def _constrained_planes_chunked(
     Same chunk-boundary semantics as the single-device chunked step."""
     from jax import shard_map
 
-    from fastslam_tpu.core.pallas_kernels import fused_update_planes_multi
-
     shardings = planes_state_sharding(mesh, config)
     pin = lambda s: jax.tree.map(jax.lax.with_sharding_constraint, s, shardings)
     state = pin(state)
@@ -247,33 +283,69 @@ def _constrained_planes_chunked(
     c = rotations.shape[0]
     dt = state.poses.dtype
 
-    rot_noise = config.rotation_noise * jax.random.normal(k_rot, (c, p), dtype=dt)
-    trans_noise = config.translation_noise * jax.random.normal(
-        k_trans, (c, p), dtype=dt
-    )
-    rotating = (rotations != 0.0)[:, None]
-    noisy_rot = jnp.where(rotating, rotations[:, None] + rot_noise, 0.0)
-    noisy_trans = jnp.where(rotating, 0.0, translations[:, None] + trans_noise)
-
     pax = config.particle_axis
     pspec = P(pax)
     plane_spec = P(None, pax)
 
-    def local(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, nr, nt):
-        return fused_update_planes_multi(
-            poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, nr, nt,
-            config, interpret=config.pallas_interpret,
+    if config.proposal_mode == "fastslam2":
+        from fastslam_tpu.core.pallas_kernels import fused_fs2_planes_multi
+
+        noise = jax.random.normal(k_rot, (c, 3, p), dtype=dt)
+        rot_eff, trans_eff, s_t2, s_r2, fxy = kernels.fs2_prior_scalars(
+            rotations, translations, config
         )
 
-    tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
-                 + (pspec, P(), P(), plane_spec, plane_spec),
-        out_specs=(plane_spec,) * 4 + (plane_spec,) * 6 + (pspec,),
-        check_vma=False,
-    )(state.poses, state.log_weights, state.lm_mx, state.lm_my, state.lm_ca,
-      state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
-      measurements.range_bearing, measurements.valid, noisy_rot, noisy_trans)
+        def local_fs2(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+                      noise, rot_eff, trans_eff, s_t2, s_r2, fxy):
+            return fused_fs2_planes_multi(
+                poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+                noise, rot_eff, trans_eff, s_t2, s_r2, fxy, config,
+                interpret=config.pallas_interpret,
+            )
+
+        tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+            local_fs2, mesh=mesh,
+            in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
+                     + (pspec, P(), P(), P(None, None, pax),
+                        P(), P(), P(), P(), P()),
+            out_specs=(plane_spec,) * 4 + (plane_spec,) * 6 + (pspec,),
+            check_vma=False,
+        )(state.poses, state.log_weights, state.lm_mx, state.lm_my,
+          state.lm_ca, state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+          measurements.range_bearing, measurements.valid, noise,
+          rot_eff, trans_eff, s_t2, s_r2, fxy)
+    else:
+        from fastslam_tpu.core.pallas_kernels import fused_update_planes_multi
+
+        rot_noise = config.rotation_noise * jax.random.normal(
+            k_rot, (c, p), dtype=dt
+        )
+        trans_noise = config.translation_noise * jax.random.normal(
+            k_trans, (c, p), dtype=dt
+        )
+        rotating = (rotations != 0.0)[:, None]
+        noisy_rot = jnp.where(rotating, rotations[:, None] + rot_noise, 0.0)
+        noisy_trans = jnp.where(
+            rotating, 0.0, translations[:, None] + trans_noise
+        )
+
+        def local(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+                  nr, nt):
+            return fused_update_planes_multi(
+                poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, nr, nt,
+                config, interpret=config.pallas_interpret,
+            )
+
+        tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
+                     + (pspec, P(), P(), plane_spec, plane_spec),
+            out_specs=(plane_spec,) * 4 + (plane_spec,) * 6 + (pspec,),
+            check_vma=False,
+        )(state.poses, state.log_weights, state.lm_mx, state.lm_my,
+          state.lm_ca, state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+          measurements.range_bearing, measurements.valid, noisy_rot,
+          noisy_trans)
 
     # per-tick estimates: global argmax over the (sharded) per-tick weights
     best = jnp.argmax(tlogw, axis=1)

@@ -41,9 +41,15 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="ticks per kernel invocation (chunked planes step; "
                          "implies --planes --production)")
+    ap.add_argument("--fs2", action="store_true",
+                    help="FastSLAM 2.0 measurement-informed proposal "
+                         "(fused in-kernel on the planes/chunked paths; "
+                         "implies --production)")
     args = ap.parse_args()
     if args.chunk:
         args.planes = True
+        args.production = True
+    if args.fs2:
         args.production = True
 
     import jax
@@ -64,6 +70,7 @@ def main():
         # Pallas kernels only run interpreted on CPU
         pallas_interpret=args.cpu and (args.pallas or args.planes),
         parity_mode=not args.production,
+        proposal_mode="fastslam2" if args.fs2 else "motion",
         resample_threshold_frac=0.0 if args.no_resample else 0.5,
     )
     st = init_state(cfg, rng=0)
@@ -146,16 +153,25 @@ def main():
     jax.block_until_ready(st2)
     compile_s = time.time() - t0
 
-    t0 = time.perf_counter()
-    st3, poses = multi(st2)  # donates st2
-    jax.block_until_ready(st3)
+    # repeated timed region, best-of-3: sync via block_until_ready AND a
+    # host readback (block_until_ready can return early on this runtime —
+    # CLAUDE.md), and don't let transient co-tenant contention on the shared
+    # chip define the number
+    best = float("inf")
+    for _ in range(1 if args.cpu else 3):
+        t0 = time.perf_counter()
+        st2, poses = multi(st2)
+        jax.block_until_ready(st2)
+        _ = np.asarray(poses[-1])
+        best = min(best, time.perf_counter() - t0)
     ticks_per_scan_step = args.chunk if args.chunk else 1
-    dt = (time.perf_counter() - t0) / (args.k * ticks_per_scan_step)
+    dt = best / (args.k * ticks_per_scan_step)
 
     print(json.dumps({
         "path": (f"chunked{args.chunk}" if args.chunk else
                  "planes" if args.planes else
                  "pallas" if args.pallas else "scan")
+                + ("+fs2" if args.fs2 else "")
                 + ("+bf16" if args.bf16_assoc else "")
                 + ("+noekf" if args.skip_ekf else "")
                 + ("+prod" if args.production else "")

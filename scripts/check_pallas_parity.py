@@ -44,6 +44,46 @@ print('done', jax.devices()[0].platform)
     subprocess.run([sys.executable, "-c", code], check=True)
 
 
+def run_fs2(platform: str, steps: int = 3):
+    """FastSLAM 2.0: fused proposal+EKF planes kernel (TPU) vs the XLA path
+    (fastslam2_propose + scan EKF) on CPU — same RNG stream, P=1024."""
+    import subprocess
+
+    use_planes = platform != "cpu"
+    code = f"""
+import jax
+{"jax.config.update('jax_platforms','cpu')" if platform == "cpu" else ""}
+import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import jax.numpy as jnp, numpy as np
+from fastslam_tpu.config import FastSLAMConfig
+from fastslam_tpu.core import kernels
+from fastslam_tpu.core.state import (
+    init_state, init_planes_state, from_planes, pad_measurements,
+)
+
+cfg = FastSLAMConfig(num_particles=1024, max_landmarks=64,
+                     max_measurements=16, parity_mode=False,
+                     proposal_mode="fastslam2", use_pallas={use_planes})
+ms = pad_measurements(cfg, [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(16)])
+if {use_planes}:
+    st = init_planes_state(cfg, rng=0)
+    step = jax.jit(lambda s, r, t, m: kernels.fastslam_step_planes(s, r, t, m, cfg))
+else:
+    st = init_state(cfg, rng=0)
+    step = jax.jit(lambda s, r, t, m: kernels.fastslam_step(s, r, t, m, cfg))
+for _ in range({steps}):
+    st, pose = step(st, jnp.float32(0.0), jnp.float32(0.4), ms)
+if {use_planes}:
+    st = from_planes(st)
+np.savez('/tmp/claude-0/parity_fs2_{platform}.npz',
+         poses=np.asarray(st.poses), logw=np.asarray(st.log_weights),
+         mean=np.asarray(st.lm_mean), cov=np.asarray(st.lm_cov),
+         cnt=np.asarray(st.lm_count), pose=np.asarray(pose))
+print('done fs2', jax.devices()[0].platform)
+"""
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
 def main():
     run("cpu", use_pallas=False)
     run("tpu", use_pallas=True)
@@ -58,6 +98,37 @@ def main():
         print(f"{key}: max |diff| = {diff:.3e} (tol {tol})")
         assert diff < tol, f"{key} mismatch: {diff}"
     print("PARITY OK: TPU Pallas == CPU scan path")
+
+    run_fs2("cpu")
+    run_fs2("tpu")
+    a = np.load("/tmp/claude-0/parity_fs2_cpu.npz")
+    b = np.load("/tmp/claude-0/parity_fs2_tpu.npz")
+    # The production association is the packed argmin, which deliberately
+    # blurs the gate boundary by ~2^-15 relative (8 dropped mantissa bits +
+    # approximate reciprocal) — a measurement sitting exactly on the gate can
+    # associate differently between backends, flipping that one particle's
+    # append/update decision.  Allow <1% such particles and compare the rest.
+    agree = a["cnt"] == b["cnt"]
+    flip_frac = 1.0 - agree.mean()
+    print(f"fs2 cnt: {100 * flip_frac:.2f}% gate-boundary flips (tol 1%)")
+    assert flip_frac < 0.01, f"too many association flips: {flip_frac}"
+    # A particle can also flip a DECISION without changing its count (the
+    # chi^2 proposal gate at exactly 9.21, or the packed argmin picking a
+    # different slot) — its whole pose/map legitimately differs.  The
+    # criterion is therefore distributional: >=99% of particles must match
+    # to f32-accumulation tolerance, and flips must stay <1%.
+    n = agree.size
+    for key, tol in [("poses", 5e-5), ("mean", 5e-4), ("cov", 5e-4),
+                     ("logw", 5e-2)]:
+        d = np.abs(a[key] - b[key]).reshape(n, -1).max(axis=1)[agree]
+        q99 = np.quantile(d, 0.99)
+        big = float((d > tol).mean())
+        print(f"fs2 {key}: q99 |diff| = {q99:.3e} (tol {tol}), "
+              f"{100 * big:.2f}% decision flips")
+        assert q99 < tol, f"fs2 {key} mismatch: q99={q99}"
+        assert big < 0.01, f"fs2 {key}: too many flipped particles: {big}"
+    print("PARITY OK: TPU fused fs2 == CPU XLA fs2 path "
+          "(>=99% of particles bit-close; <1% gate-boundary flips)")
 
 
 if __name__ == "__main__":

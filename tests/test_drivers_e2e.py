@@ -200,3 +200,31 @@ def test_replay_chunked_matches_per_tick_accuracy():
 
     with pytest.raises(ValueError, match="planes engine in production"):
         replay_chunked(log, cfg.replace(parity_mode=True), chunk_size=8)
+
+
+def test_replay_chunked_fs2_tracks():
+    """The chunked engine with the fused FastSLAM 2.0 proposal: measurement-
+    informed sampling + evidence weighting inside the multi-tick kernel.
+    Accuracy bar: must track the drive (fs2 at the default real-robot floors
+    is looser than motion-mode on CLEAN sim odometry — see EVAL.md — so the
+    bar is the fs2 per-tick figure, not the motion-mode one)."""
+    from fastslam_tpu.app.runner import replay_chunked
+    from fastslam_tpu.drivers.replay import record_log
+    from fastslam_tpu.drivers.sim_world import SimWorld
+
+    log = record_log(SimWorld(seed=3), num_ticks=230)
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=32, warmup_iterations=150,
+        parity_mode=False, proposal_mode="fastslam2",
+        use_pallas=True, pallas_interpret=True,
+    )
+    h = replay_chunked(log, cfg, chunk_size=4, rng=0)
+    est = np.asarray(h.est_poses)
+    assert np.isfinite(est).all()
+    assert h.metrics(skip=150)["ate_rmse_m"] < 0.25
+
+    # ICP refinement needs the per-tick loop — chunked replay must refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="per-tick loop"):
+        replay_chunked(log, cfg.replace(use_icp_proposal=True), chunk_size=4)

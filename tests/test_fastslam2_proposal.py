@@ -191,3 +191,131 @@ def test_adaptive_floors_require_icp_and_fs2():
     )
     with pytest.raises(ValueError, match="adaptive_proposal_floors"):
         SLAMRunner(cfg)
+
+
+# ---------------------------------------------------------------------------
+# fused in-kernel proposal (planes / chunked Pallas engines)
+# ---------------------------------------------------------------------------
+
+def test_pallas_sin_cos_poly_accuracy():
+    """In-kernel trig substitute (Mosaic lowers no sin/cos): max error vs
+    jnp.sin/cos must stay at f32 rounding level over the full wrap range."""
+    from fastslam_tpu.core.pallas_kernels import _sin_cos
+
+    x = jnp.linspace(-np.pi, np.pi, 200_001)
+    s, c = _sin_cos(x)
+    assert float(jnp.max(jnp.abs(s - jnp.sin(x)))) < 3e-7
+    assert float(jnp.max(jnp.abs(c - jnp.cos(x)))) < 3e-7
+
+
+def _seeded_pair(n=128, l=16, m=4):
+    """(blocks state, planes state) with identical populated maps."""
+    from fastslam_tpu.core.state import to_planes
+
+    cfg_b = FastSLAMConfig(
+        num_particles=n, max_landmarks=l, max_measurements=m,
+        parity_mode=False, proposal_mode="fastslam2",
+    )
+    cfg_p = cfg_b.replace(use_pallas=True, pallas_interpret=True,
+                          engine="planes")
+    st = init_state(cfg_b, rng=0)
+    seed_cfg = cfg_b.replace(proposal_mode="motion")
+    ms = pad_measurements(cfg_b, [(2.0, 0.3), (3.0, -1.0), (1.5, 2.0)])
+    st, _ = kernels.fastslam_step(st, jnp.float32(0.0), jnp.float32(0.3),
+                                  ms, seed_cfg)
+    st, _ = kernels.fastslam_step(st, jnp.float32(0.1), jnp.float32(0.0),
+                                  ms, seed_cfg)
+    return cfg_b, cfg_p, st, to_planes(st)
+
+
+def test_planes_fs2_step_matches_blocks_path():
+    """The fused proposal+EKF kernel must reproduce the XLA fs2 path
+    (fastslam2_propose + scan EKF) to float tolerance — same RNG stream,
+    same math; the only differences are in-kernel polynomial trig (~1e-7)
+    and summation order."""
+    from fastslam_tpu.core.state import from_planes
+
+    cfg_b, cfg_p, st_b, st_p = _seeded_pair()
+    ms = pad_measurements(cfg_b, [(2.1, 0.25), (2.9, -1.05)])
+
+    nb, est_b = kernels.fastslam_step(
+        st_b, jnp.float32(0.0), jnp.float32(0.3), ms, cfg_b
+    )
+    np_, est_p = kernels.fastslam_step_planes(
+        st_p, jnp.float32(0.0), jnp.float32(0.3), ms, cfg_p
+    )
+    npb = from_planes(np_)
+    np.testing.assert_allclose(np.asarray(nb.poses), np.asarray(npb.poses),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(nb.log_weights),
+                               np.asarray(npb.log_weights), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nb.lm_mean),
+                               np.asarray(npb.lm_mean), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(nb.lm_cov),
+                               np.asarray(npb.lm_cov), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(nb.lm_count),
+                                  np.asarray(npb.lm_count))
+    np.testing.assert_allclose(np.asarray(est_b), np.asarray(est_p), atol=2e-5)
+
+
+def test_planes_fs2_respects_proposal_floors():
+    """Traced floor overrides must reach the fused kernel: wider floors ->
+    visibly wider pose spread (the adaptive-floors contract)."""
+    cfg_b, cfg_p, _, st_p = _seeded_pair()
+    ms = pad_measurements(cfg_b, np.zeros((0, 2)))  # no measurements
+
+    tight, _ = kernels.fastslam_step_planes(
+        st_p, jnp.float32(0.0), jnp.float32(0.3), ms, cfg_p,
+        proposal_floors=(jnp.float32(1e-3), jnp.float32(1e-3)),
+    )
+    wide, _ = kernels.fastslam_step_planes(
+        st_p, jnp.float32(0.0), jnp.float32(0.3), ms, cfg_p,
+        proposal_floors=(jnp.float32(0.05), jnp.float32(0.05)),
+    )
+    assert float(jnp.std(wide.poses[:, 1])) > 5 * float(jnp.std(tight.poses[:, 1]))
+
+
+def test_chunked_fs2_runs_and_is_finite():
+    from fastslam_tpu.core.state import Measurements
+
+    cfg_b, cfg_p, _, st_p = _seeded_pair()
+    c = 4
+    rots = jnp.array([0.0, 0.1, 0.0, -0.05], jnp.float32)
+    trans = jnp.array([0.3, 0.0, 0.25, 0.0], jnp.float32)
+    ms = pad_measurements(cfg_b, [(2.0, 0.3), (3.0, -1.0)])
+    rb = jnp.tile(ms.range_bearing[None], (c, 1, 1))
+    mv = jnp.tile(ms.valid[None], (c, 1))
+
+    new_state, est = kernels.fastslam_steps_planes_chunked(
+        st_p, rots, trans, Measurements(rb, mv), cfg_p
+    )
+    assert est.shape == (c, 3)
+    assert np.isfinite(np.asarray(est)).all()
+    assert np.isfinite(np.asarray(new_state.log_weights)).all()
+    assert np.isfinite(np.asarray(new_state.lm_mx)).all()
+    # translation ticks actually advance x
+    e = np.asarray(est)
+    assert e[2, 0] > e[0, 0] + 0.1
+
+
+def test_planes_runner_supports_fs2_and_adaptive_floors():
+    """SLAMRunner on the planes engine with proposal_mode='fastslam2' and
+    adaptive floors constructs and ticks (the floors ride as traced scalars
+    into the fused kernel)."""
+    from fastslam_tpu.app.runner import SLAMRunner
+
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=16, max_measurements=8,
+        parity_mode=False, proposal_mode="fastslam2",
+        use_pallas=True, pallas_interpret=True,
+        use_icp_proposal=True, icp_blend=0.0, adaptive_proposal_floors=True,
+        warmup_iterations=0,
+    )
+    runner = SLAMRunner(cfg)
+    assert runner.uses_planes
+    pts = np.zeros((cfg.num_beams, 2), np.float32)
+    pts[:4] = [[2.0, 0.5], [2.0, 0.6], [2.0, 0.7], [2.0, 0.8]]
+    valid = np.zeros(cfg.num_beams, bool)
+    valid[:4] = True
+    est = runner.tick(pts, valid, 0.0, 0.3)
+    assert np.isfinite(est).all()

@@ -232,3 +232,57 @@ def test_sharded_chunked_matches_single_device():
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(st1.lm_count),
                                   np.asarray(st8.lm_count))
+
+
+def test_sharded_fs2_planes_matches_single_device():
+    """Fused FastSLAM 2.0 planes step (proposal + evidence + EKF in one
+    kernel): sharded and single-device execution agree — the kernel is
+    fully particle-parallel and the noise draw happens under GSPMD, so the
+    8-device run is numerically identical to 1 device."""
+    from fastslam_tpu.core.state import Measurements, init_planes_state
+    from fastslam_tpu.parallel.mesh import shard_planes_state
+    from fastslam_tpu.parallel.sharded import (
+        make_sharded_planes_chunked_step, make_sharded_planes_step,
+    )
+
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=8, max_measurements=4,
+        parity_mode=False, proposal_mode="fastslam2",
+        use_pallas=True, pallas_interpret=True,
+    )
+    ms = pad_measurements(cfg, [(3.0, 0.4), (2.0, -1.0)])
+
+    mesh1 = make_mesh(cfg, devices=jax.devices()[:1])
+    mesh8 = make_mesh(cfg)
+    st1 = shard_planes_state(init_planes_state(cfg, rng=7), mesh1, cfg)
+    st8 = shard_planes_state(init_planes_state(cfg, rng=7), mesh8, cfg)
+    step1 = make_sharded_planes_step(cfg, mesh1)
+    step8 = make_sharded_planes_step(cfg, mesh8)
+
+    for _ in range(3):
+        st1, est1 = step1(st1, jnp.float32(0.0), jnp.float32(0.4), ms)
+        st8, est8 = step8(st8, jnp.float32(0.0), jnp.float32(0.4), ms)
+    np.testing.assert_allclose(np.asarray(est1), np.asarray(est8), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st1.poses), np.asarray(st8.poses), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(st1.lm_mx), np.asarray(st8.lm_mx),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st1.lm_count),
+                                  np.asarray(st8.lm_count))
+
+    # chunked fs2 variant
+    c = 4
+    rots = jnp.zeros(c, jnp.float32)
+    trans = jnp.full(c, 0.4, jnp.float32)
+    msc = Measurements(jnp.tile(ms.range_bearing[None], (c, 1, 1)),
+                       jnp.tile(ms.valid[None], (c, 1)))
+    stc1 = shard_planes_state(init_planes_state(cfg, rng=9), mesh1, cfg)
+    stc8 = shard_planes_state(init_planes_state(cfg, rng=9), mesh8, cfg)
+    cstep1 = make_sharded_planes_chunked_step(cfg, mesh1, c)
+    cstep8 = make_sharded_planes_chunked_step(cfg, mesh8, c)
+    stc1, estc1 = cstep1(stc1, rots, trans, msc)
+    stc8, estc8 = cstep8(stc8, rots, trans, msc)
+    np.testing.assert_allclose(np.asarray(estc1), np.asarray(estc8), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stc1.lm_mx), np.asarray(stc8.lm_mx),
+                               atol=1e-5)
