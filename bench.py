@@ -118,6 +118,79 @@ def bench_tpu(num_steps: int = 96, chunk: int = 8):
     return updates / best, best / num_steps
 
 
+def bench_e2e(num_steps: int = 64):
+    """End-to-end ONLINE frames/s including the perception frontend: the
+    fused production tick (scan -> line filter -> Hough -> clustering ->
+    measurements -> filter step) scanned over ``num_steps`` REAL recorded
+    simulator scans inside one jit.  Constant inputs would let XLA hoist the
+    loop-invariant frontend out of the scan, so the xs are distinct scans.
+
+    This is the number an online robot loop sees per tick on-device (the
+    per-dispatch tunnel overhead of ~50-80 ms amortizes over K here exactly
+    as the runner's fused one-dispatch tick amortizes it over a run).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fastslam_tpu.config import FastSLAMConfig
+    from fastslam_tpu.core import kernels
+    from fastslam_tpu.core.state import init_planes_state, init_state
+    from fastslam_tpu.drivers.replay import record_log
+    from fastslam_tpu.drivers.sim_world import SimWorld
+    from fastslam_tpu.frontend.pipeline import scan_to_measurements
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    config = FastSLAMConfig(
+        num_particles=100_000, max_landmarks=64, max_measurements=16,
+        use_pallas=on_tpu, parity_mode=False,
+        pallas_interpret=False,
+    )
+
+    log = record_log(SimWorld(seed=2), num_ticks=num_steps)
+    values = np.asarray(log.scans, np.float32)
+    nb = values.shape[1]
+    angles = np.radians(np.arange(nb) - nb // 2).astype(np.float32)
+    valid = (values >= log.min_range) & (values <= log.max_range)
+    pts = np.stack([values * np.cos(angles), values * np.sin(angles)],
+                   axis=-1)
+    pts[~valid] = 0.0
+    rots = np.where(np.asarray(log.cmd_v) != 0, 0.0,
+                    np.asarray(log.cmd_w) * 0.05).astype(np.float32)
+    trs = np.where(np.asarray(log.cmd_v) != 0,
+                   np.asarray(log.cmd_v) * 0.05 * config.velocity_fudge,
+                   0.0).astype(np.float32)
+    xs = (jnp.asarray(pts), jnp.asarray(valid),
+          jnp.asarray(rots), jnp.asarray(trs))
+
+    if config.use_planes_engine():
+        state = init_planes_state(config, rng=0)
+        step_fn = kernels.fastslam_step_planes
+    else:
+        state = init_state(config, rng=0)
+        step_fn = kernels.fastslam_step
+
+    def body(s, inp):
+        p, v, rot, tr = inp
+        ms = scan_to_measurements(p, v, config)
+        s, est = step_fn(s, rot, tr, ms, config)
+        return s, est
+
+    multi = jax.jit(lambda s, x: jax.lax.scan(body, s, x), donate_argnums=0)
+
+    state2, est = multi(state, xs)
+    jax.block_until_ready(state2)
+    _ = np.asarray(est[-1])
+
+    best = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        state2, est = multi(state2, xs)
+        jax.block_until_ready(state2)
+        _ = np.asarray(est[-1])
+        best = min(best, time.perf_counter() - t0)
+    return num_steps / best
+
+
 def bench_oracle_baseline(num_ticks: int = 2, num_particles: int = 100):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from oracle import numpy_oracle as oracle
@@ -143,6 +216,7 @@ def bench_oracle_baseline(num_ticks: int = 2, num_particles: int = 100):
 
 def main():
     ups, step_s = bench_tpu()
+    e2e_fps = bench_e2e()
     base_ups = bench_oracle_baseline()
     print(
         json.dumps(
@@ -152,6 +226,8 @@ def main():
                 "unit": "updates/s",
                 "vs_baseline": round(ups / base_ups, 1),
                 "step_seconds": round(step_s, 6),
+                # online loop including the perception frontend, P=100k
+                "e2e_frames_per_s": round(e2e_fps, 1),
                 "baseline_updates_per_s": round(base_ups),
             }
         )

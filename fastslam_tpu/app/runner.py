@@ -139,6 +139,17 @@ class SLAMRunner:
                 lambda s, t, sv, tv: icp_point_to_line(s, t, sv, tv, config)
             )
             self._prev_scan = None
+        # production mode: ONE dispatch per online tick (ICP proposal +
+        # frontend + tracking + filter step fused under a single jit) — each
+        # separate dispatch through the remote-TPU tunnel costs ~50-80 ms,
+        # so the split frontend/step loop was dispatch-bound by construction.
+        # Parity mode keeps the split path: its bit-compatibility with the
+        # NumPy oracle is certified per-jit, and fusing changes XLA's fusion
+        # choices (float-tolerance, not bit-exact).
+        self._fused = None
+        self._prev_scan_dev = None
+        if not config.parity_mode and config.fuse_online_tick:
+            self._fused = self._build_fused_tick()
 
     # ------------------------------------------------------------ odometry
     def odometry(self, v: float, w: float, timestamp: float) -> tuple:
@@ -226,6 +237,150 @@ class SLAMRunner:
             (1.0 - a) * rotation + a * icp_rot,
             (1.0 - a) * translation + a * icp_trans,
         )
+
+    # --------------------------------------------------------- fused tick
+    def _build_fused_tick(self):
+        """One jitted function for the WHOLE tick: (optional) warm-started
+        ICP odometry refinement + adaptive-floor EMA, (optional) corner
+        tracking, scan->measurement frontend, and the filter step.
+
+        The split loop issued 2-3 dispatches per tick (frontend, ICP, step),
+        each paying the documented ~50-80 ms tunnel overhead; this issues
+        exactly one.  The in-jit ICP epilogue mirrors :meth:`icp_refine`
+        (jnp float32 instead of host float64 — float-tolerance equivalent).
+
+        Returns ``(state, tracks_or_None, out[8])`` with
+        ``out = [est_x, est_y, est_yaw, rot_used, trans_used, n_meas,
+        floor_xy, floor_th]`` so the host reads ONE small array per tick.
+        """
+        config = self.config
+        use_icp = config.use_icp_proposal
+        track = config.track_corners
+        floors_on = self._adaptive_floors
+        step_fn = (kernels.fastslam_step_planes if self.uses_planes
+                   else kernels.fastslam_step)
+        if use_icp:
+            from fastslam_tpu.proposal.icp import icp_point_to_line
+        if track:
+            from fastslam_tpu.frontend.pipeline import (
+                extract_corners, measurements_from_corners,
+            )
+            from fastslam_tpu.frontend.tracking import (
+                stable_corners, update_tracks,
+            )
+
+        def fused(state, tracks, pts, valid, prev_pts, prev_valid,
+                  rotation, translation, v_active, has_prev, fxy, fth):
+            rotation = jnp.float32(rotation)
+            translation = jnp.float32(translation)
+            if use_icp:
+                # warm start with the command odometry (see icp_refine)
+                c, s = jnp.cos(-rotation), jnp.sin(-rotation)
+                r_pred = jnp.stack(
+                    [jnp.stack([c, -s]), jnp.stack([s, c])]
+                )
+                pre = (prev_pts @ r_pred.T
+                       - jnp.stack([translation, jnp.float32(0.0)]))
+                res = icp_point_to_line(pre, pts, prev_valid, valid, config)
+                r_comp = res.rotation @ r_pred
+                t_comp = (res.rotation
+                          @ jnp.stack([-translation, jnp.float32(0.0)])
+                          + res.translation)
+                icp_trans = jnp.where(
+                    v_active, jnp.sqrt(jnp.sum(t_comp * t_comp)), 0.0
+                )
+                icp_rot = jnp.where(
+                    v_active, 0.0, -jnp.arctan2(r_comp[1, 0], r_comp[0, 0])
+                )
+                if floors_on:
+                    e = config.floor_residual_ema
+                    clip = lambda x: jnp.clip(
+                        x, config.proposal_floor_min, config.proposal_floor_max
+                    )
+                    up_xy = clip((1 - e) * fxy
+                                 + e * jnp.abs(icp_trans - translation))
+                    up_th = clip((1 - e) * fth
+                                 + e * jnp.abs(icp_rot - rotation))
+                    fxy = jnp.where(has_prev & v_active, up_xy, fxy)
+                    fth = jnp.where(has_prev & ~v_active, up_th, fth)
+                a = config.icp_blend
+                rotation = jnp.where(
+                    has_prev, (1 - a) * rotation + a * icp_rot, rotation
+                )
+                translation = jnp.where(
+                    has_prev, (1 - a) * translation + a * icp_trans,
+                    translation,
+                )
+            if track:
+                corners, cvalid = extract_corners(pts, valid, config)
+                tracks = update_tracks(
+                    tracks, corners, cvalid, rotation, translation,
+                    gate=config.track_gate, ema=config.track_ema,
+                    max_misses=config.track_max_misses,
+                )
+                pos, _ids, ok = stable_corners(
+                    tracks, min_hits=config.track_min_hits
+                )
+                ms = measurements_from_corners(pos, ok, config)
+            else:
+                ms = scan_to_measurements(pts, valid, config)
+            if floors_on:
+                state, est = step_fn(state, rotation, translation, ms,
+                                     config, proposal_floors=(fxy, fth))
+            else:
+                state, est = step_fn(state, rotation, translation, ms, config)
+            n_meas = jnp.sum(ms.valid).astype(jnp.float32)
+            out = jnp.concatenate([
+                est,
+                jnp.stack([rotation, translation, n_meas,
+                           jnp.float32(fxy), jnp.float32(fth)]),
+            ])
+            return state, tracks, out
+
+        return jax.jit(fused, donate_argnums=(0,))
+
+    def tick_fused(self, points: np.ndarray, valid: np.ndarray,
+                   rotation: float, translation: float, v: float) -> np.ndarray:
+        """Production one-dispatch tick: ICP refine + frontend + step fused.
+
+        Semantics match ``icp_refine(...)`` followed by ``tick(...)`` (to
+        float32 tolerance); the warmup dead-reckoning gate uses the refined
+        odometry exactly as the split path does.
+        """
+        pts = jnp.asarray(points, jnp.float32)
+        vld = jnp.asarray(valid)
+        has_prev = False
+        prev_pts = prev_valid = None
+        if self.config.use_icp_proposal:
+            prev = self._prev_scan_dev
+            self._prev_scan_dev = (pts, vld)
+            has_prev = prev is not None
+            prev_pts, prev_valid = prev if has_prev else (pts, vld)
+        tracks = self._tracks if self.config.track_corners else None
+        self.state, tracks, out = self._fused(
+            self.state, tracks, pts, vld, prev_pts, prev_valid,
+            np.float32(rotation), np.float32(translation),
+            bool(v != 0), bool(has_prev),
+            np.float32(self._floor_xy), np.float32(self._floor_th),
+        )
+        if self.config.track_corners:
+            self._tracks = tracks
+        out = np.asarray(out)
+        self._last_num_measurements = int(out[5])
+        if self._adaptive_floors:
+            self._floor_xy, self._floor_th = float(out[6]), float(out[7])
+
+        if self.iteration < self.config.warmup_iterations:
+            rot_u, trans_u = float(out[3]), float(out[4])
+            self.robot[2] = (
+                self.robot[2] + rot_u + np.pi
+            ) % (2 * np.pi) - np.pi
+            self.robot[0] += trans_u * np.cos(self.robot[2])
+            self.robot[1] += trans_u * np.sin(self.robot[2])
+            self.iteration += 1
+        else:
+            self.robot = out[:3].astype(float).copy()
+        return self.robot.copy()
 
     # ------------------------------------------------------------- one tick
     def tick(self, points: np.ndarray, valid: np.ndarray, rotation: float,
@@ -359,11 +514,14 @@ def run_driver(
                 rotation += odo_rng.normal(0.0, odometry_noise[0])
             if translation != 0.0:
                 translation += odo_rng.normal(0.0, odometry_noise[1])
-        if config.use_icp_proposal:
-            rotation, translation = runner.icp_refine(
-                points, valid, rotation, translation, v
-            )
-        est = runner.tick(points, valid, rotation, translation)
+        if runner._fused is not None:
+            est = runner.tick_fused(points, valid, rotation, translation, v)
+        else:
+            if config.use_icp_proposal:
+                rotation, translation = runner.icp_refine(
+                    points, valid, rotation, translation, v
+                )
+            est = runner.tick(points, valid, rotation, translation)
 
         gp = driver.get_pose()
         dx, dy = gp.x - off[0], gp.y - off[1]

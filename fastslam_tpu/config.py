@@ -137,6 +137,11 @@ class FastSLAMConfig:
     proposal_floor_max: float = 0.05
 
     # ---- motion / app loop ----
+    # production online loop: fuse ICP refine + frontend + tracking + filter
+    # step into ONE jitted dispatch per tick (each separate dispatch costs
+    # ~50-80 ms through the remote-TPU tunnel).  Parity mode always runs the
+    # split per-jit path (its oracle bit-compatibility is certified per jit).
+    fuse_online_tick: bool = True
     velocity_fudge: float = 0.6           # sim reduces commanded v by 40% (robot.py:144)
     warmup_iterations: int = 150          # dead-reckoning warmup (jde_robots_main.py:16)
     linear_velocity: float = 0.3          # drive policy commands (jde_robots_main.py:25)

@@ -45,6 +45,11 @@ def main():
                     help="FastSLAM 2.0 measurement-informed proposal "
                          "(fused in-kernel on the planes/chunked paths; "
                          "implies --production)")
+    ap.add_argument("--with-frontend", action="store_true",
+                    help="end-to-end online tick: scan->measurements "
+                         "frontend fused with the filter step (real "
+                         "recorded simulator scans as the lax.scan xs, so "
+                         "the frontend cannot be hoisted as loop-invariant)")
     args = ap.parse_args()
     if args.chunk:
         args.planes = True
@@ -79,7 +84,47 @@ def main():
         cfg, [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(n_valid)]
     )
 
-    if args.chunk:
+    xs = None
+    if args.with_frontend:
+        # end-to-end online tick: frontend + step in ONE jit, scanned over
+        # REAL recorded scans (constant inputs would let XLA hoist the
+        # loop-invariant frontend out of the scan and time only the step)
+        from fastslam_tpu.core.state import init_planes_state
+        from fastslam_tpu.drivers.replay import record_log
+        from fastslam_tpu.drivers.sim_world import SimWorld
+        from fastslam_tpu.frontend.pipeline import scan_to_measurements
+
+        log = record_log(SimWorld(seed=2), num_ticks=args.k)
+        values = np.asarray(log.scans, np.float32)                 # [K, B]
+        nb = values.shape[1]
+        angles = np.radians(np.arange(nb) - nb // 2).astype(np.float32)
+        s_valid = (values >= log.min_range) & (values <= log.max_range)
+        s_pts = np.stack(
+            [values * np.cos(angles), values * np.sin(angles)], axis=-1
+        )
+        s_pts[~s_valid] = 0.0
+        rots = np.where(
+            np.asarray(log.cmd_v) != 0, 0.0, np.asarray(log.cmd_w) * 0.05
+        ).astype(np.float32)
+        trs = np.where(
+            np.asarray(log.cmd_v) != 0,
+            np.asarray(log.cmd_v) * 0.05 * cfg.velocity_fudge, 0.0,
+        ).astype(np.float32)
+        xs = (jnp.asarray(s_pts), jnp.asarray(s_valid),
+              jnp.asarray(rots), jnp.asarray(trs))
+
+        if args.planes:
+            st = init_planes_state(cfg, rng=0)
+            step_fn = kernels.fastslam_step_planes
+        else:
+            step_fn = kernels.fastslam_step
+
+        def body(s, inp):
+            pts, vld, rot, tr = inp
+            m = scan_to_measurements(pts, vld, cfg)
+            s, pose = step_fn(s, rot, tr, m, cfg)
+            return s, pose
+    elif args.chunk:
         from fastslam_tpu.core.kernels import fastslam_steps_planes_chunked
         from fastslam_tpu.core.state import Measurements, init_planes_state
 
@@ -145,8 +190,13 @@ def main():
             return s, pose
 
     donate = () if args.no_donate else (0,)
-    multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=args.k),
-                    donate_argnums=donate)
+    if xs is not None:
+        multi_xs = jax.jit(lambda s, x: jax.lax.scan(body, s, x),
+                           donate_argnums=donate)
+        multi = lambda s: multi_xs(s, xs)
+    else:
+        multi = jax.jit(lambda s: jax.lax.scan(body, s, None, length=args.k),
+                        donate_argnums=donate)
 
     t0 = time.time()
     st2, poses = multi(st)   # donates st
@@ -171,6 +221,7 @@ def main():
         "path": (f"chunked{args.chunk}" if args.chunk else
                  "planes" if args.planes else
                  "pallas" if args.pallas else "scan")
+                + ("+frontend" if args.with_frontend else "")
                 + ("+fs2" if args.fs2 else "")
                 + ("+bf16" if args.bf16_assoc else "")
                 + ("+noekf" if args.skip_ekf else "")
@@ -183,6 +234,7 @@ def main():
             (st.num_particles if args.planes else args.particles) * n_valid / dt
         ),
         "valid_measurements": n_valid,
+        **({"frames_per_s": round(1 / dt, 1)} if args.with_frontend else {}),
         "compile_s": round(compile_s, 1),
         "final_pose_x": round(float(np.asarray(poses)[-1, 0]), 3),
     }))
