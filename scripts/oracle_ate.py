@@ -21,7 +21,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 import numpy as np
 
 
-def run_oracle(log, cfg, seed=0):
+def run_oracle(log, cfg, seed=0, odometry_noise=(0.0, 0.0),
+               odometry_noise_seed=123):
+    """Replay the reference equations over a log.
+
+    ``odometry_noise`` corrupts the (rotation, translation) odometry the
+    filter sees the same way app/runner.run_driver does (per-component
+    gaussian, only on active ticks, default seed 123), so oracle-vs-engine
+    wheel-slip comparisons run at the same slip magnitude.  (The draws land
+    on different ticks because the oracle keeps the reference's
+    command/laser pairing off-by-one, jde_robots_main.py:25-31.)
+    """
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +40,7 @@ def run_oracle(log, cfg, seed=0):
     from oracle import numpy_oracle as oracle
 
     rng = np.random.default_rng(seed)
+    odo_rng = np.random.default_rng(odometry_noise_seed)
     frontend = jax.jit(lambda p, v: scan_to_measurements(p, v, cfg))
 
     particles = oracle.make_particles(cfg.num_particles)
@@ -48,6 +59,11 @@ def run_oracle(log, cfg, seed=0):
             rotation, translation = 0.0, v * dt * cfg.velocity_fudge
         else:
             rotation, translation = w * dt, 0.0
+        if odometry_noise != (0.0, 0.0):
+            if rotation != 0.0:
+                rotation += odo_rng.normal(0.0, odometry_noise[0])
+            if translation != 0.0:
+                translation += odo_rng.normal(0.0, odometry_noise[1])
 
         ms = frontend(jnp.asarray(pts), jnp.asarray(valid))
         mask = np.asarray(ms.valid)
