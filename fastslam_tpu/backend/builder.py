@@ -3,10 +3,24 @@
 Bridges the filter front-end to the backend: keyframes are subsampled ticks,
 odometry factors come from the relative motion between consecutive keyframe
 pose estimates, and observation factors are the tick's (range, bearing)
-corner measurements.  Landmark identities are established by greedy world-
-frame clustering of the projected observations (nearest existing landmark
-within a gate, else a new landmark) — the batch analog of the filter's
-per-particle association (``landmark_utils.py:92-117``).
+corner measurements.  Landmark identities are established by world-frame
+clustering of the projected observations — the batch analog of the filter's
+per-particle association (``landmark_utils.py:92-117``).  Two association
+engines:
+
+* ``greedy`` — exact sequential nearest-within-gate clustering with running
+  means (order-dependent, O(F·L) Python); the accuracy reference for small
+  windows.
+* ``grid`` — vectorized grid-hash clustering (O(F log F) NumPy): snap each
+  world-projected observation to a gate-sized cell, form per-cell centroids,
+  then re-assign every observation to the nearest centroid among its 3x3
+  neighbor cells (healing cell-boundary splits).  This is what makes
+  BASELINE config #5 (100k–1M landmarks) buildable in seconds; duplicates
+  the greedy pass would have merged across >1-cell distances are merged by
+  the ``reassociate_pose_graph`` rounds instead.
+
+``association="auto"`` (the default) picks greedy below
+``_GRID_THRESHOLD`` observations and grid above it.
 
 Host-side NumPy: graph construction is a one-off per optimization window,
 not a hot path; the optimizer itself (backend.pose_graph) is jitted.
@@ -19,6 +33,95 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from fastslam_tpu.backend.pose_graph import PoseGraph
+
+# above this many observations, association="auto" switches from the exact
+# sequential greedy pass to the vectorized grid hash
+_GRID_THRESHOLD = 20_000
+
+
+def _world_project(kf: np.ndarray, obs_kf: np.ndarray,
+                   obs_rb: np.ndarray) -> np.ndarray:
+    """World-frame (x, y) of each observation from its keyframe pose, [F, 2]."""
+    th = kf[obs_kf, 2] + obs_rb[:, 1]
+    return np.stack([kf[obs_kf, 0] + obs_rb[:, 0] * np.cos(th),
+                     kf[obs_kf, 1] + obs_rb[:, 0] * np.sin(th)], axis=-1)
+
+
+def _grid_associate(
+    kf: np.ndarray,
+    obs_kf: np.ndarray,
+    obs_rb: np.ndarray,
+    association_gate: float,
+    max_landmarks: int,
+):
+    """Vectorized grid-hash association; same contract as _greedy_associate.
+
+    Cells are ``gate``-sized; pass 1 forms per-cell centroids, pass 2 merges
+    cells whose centroids sit within the gate of a 3x3-neighbor centroid via
+    min-label propagation (the same trick as frontend/clustering.py), so two
+    observations of one corner falling either side of a cell boundary share
+    a landmark.  Like the greedy pass's running means, chained merges can
+    span more than one gate.  Landmark order is first-observation order,
+    matching the greedy pass's first-seen numbering.  Returns
+    (landmarks [J, 2] array, obs_lm [F] int, keep [F]).
+    """
+    f = len(obs_kf)
+    if f == 0:
+        return np.zeros((0, 2)), np.zeros(0, np.int32), np.zeros(0, bool)
+    w = _world_project(kf, obs_kf, obs_rb)
+    cell = np.floor(w / association_gate).astype(np.int64)
+    # exact composite key (no hash collisions for |cell| < 2^31)
+    key = (cell[:, 0] << 32) ^ (cell[:, 1] & 0xFFFFFFFF)
+
+    # pass 1: per-cell centroids
+    uniq, inv = np.unique(key, return_inverse=True)
+    n_cells = len(uniq)
+    sums = np.zeros((n_cells, 2))
+    np.add.at(sums, inv, w)
+    counts = np.bincount(inv, minlength=n_cells).astype(np.float64)
+    cent = sums / counts[:, None]
+
+    # pass 2: adjacency = 3x3-neighbor cells whose centroids are within the
+    # gate; merge connected components by min-label propagation
+    cell_xy = np.stack([uniq >> 32, uniq << 32 >> 32], axis=-1)  # sign-kept
+    gate2 = association_gate * association_gate
+    neighbors = np.full((n_cells, 9), -1, np.int64)
+    col = 0
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            nk = ((cell_xy[:, 0] + ox) << 32) ^ ((cell_xy[:, 1] + oy)
+                                                 & 0xFFFFFFFF)
+            pos = np.searchsorted(uniq, nk)
+            pos_c = np.minimum(pos, n_cells - 1)
+            hit = (uniq[pos_c] == nk) & (
+                np.sum((cent - cent[pos_c]) ** 2, axis=-1) <= gate2)
+            neighbors[:, col] = np.where(hit, pos_c, np.arange(n_cells))
+            col += 1
+    label = np.arange(n_cells)
+    for _ in range(64):            # chains longer than 64 cells don't occur
+        new = np.minimum(label, label[neighbors].min(axis=1))
+        # pointer jumping doubles convergence speed on chains
+        new = new[new]
+        if np.array_equal(new, label):
+            break
+        label = new
+    assign = label[inv]
+
+    # compact to first-observation order, cap capacity, recompute centroids
+    used, assign_local = np.unique(assign, return_inverse=True)
+    first_obs = np.full(len(used), f, np.int64)
+    np.minimum.at(first_obs, assign_local, np.arange(f))
+    rank_of = np.empty(len(used), np.int64)
+    rank_of[np.argsort(first_obs, kind="stable")] = np.arange(len(used))
+    lm_of_obs = rank_of[assign_local]
+
+    keep = lm_of_obs < max_landmarks
+    n_lm = int(min(len(used), max_landmarks))
+    lm_sums = np.zeros((n_lm, 2))
+    np.add.at(lm_sums, lm_of_obs[keep], w[keep])
+    lm_counts = np.bincount(lm_of_obs[keep], minlength=n_lm).astype(np.float64)
+    landmarks = lm_sums / np.maximum(lm_counts, 1.0)[:, None]
+    return landmarks, lm_of_obs.astype(np.int32), keep
 
 
 def _greedy_associate(
@@ -65,33 +168,35 @@ def _associate_by_ids(
 ):
     """Landmark identity from persistent tracker ids: one graph landmark per
     distinct id (first-seen order), initialized at the mean of that id's
-    world-projected observations.  Same return shape as _greedy_associate."""
-    landmarks: List[np.ndarray] = []
-    counts: List[int] = []
-    id_to_lm: dict = {}
-    obs_lm = np.zeros(len(obs_kf), np.int32)
-    keep = np.zeros(len(obs_kf), bool)
-    for i, (k_idx, (dist, bearing), tid) in enumerate(
-        zip(obs_kf, obs_rb, track_ids)
-    ):
-        if tid < 0:
-            continue
-        wx = kf[k_idx, 0] + dist * np.cos(kf[k_idx, 2] + bearing)
-        wy = kf[k_idx, 1] + dist * np.sin(kf[k_idx, 2] + bearing)
-        w = np.array([wx, wy])
-        j = id_to_lm.get(int(tid), -1)
-        if j < 0:
-            if len(landmarks) >= max_landmarks:
-                continue
-            j = len(landmarks)
-            id_to_lm[int(tid)] = j
-            landmarks.append(w.copy())
-            counts.append(1)
-        else:
-            counts[j] += 1
-            landmarks[j] += (w - landmarks[j]) / counts[j]  # running mean
-        obs_lm[i] = j
-        keep[i] = True
+    world-projected observations.  Vectorized (O(F log F)); same return
+    contract as _greedy_associate."""
+    f = len(obs_kf)
+    obs_lm = np.zeros(f, np.int32)
+    keep = np.zeros(f, bool)
+    tid = np.asarray(track_ids, np.int64)
+    valid = tid >= 0
+    if not valid.any():
+        return np.zeros((0, 2)), obs_lm, keep
+
+    w = _world_project(kf, obs_kf, obs_rb)
+    uniq, inv = np.unique(tid[valid], return_inverse=True)
+    # first-seen order, like the sequential pass numbered them
+    first_obs = np.full(len(uniq), f, np.int64)
+    np.minimum.at(first_obs, inv, np.flatnonzero(valid))
+    rank_of = np.empty(len(uniq), np.int64)
+    rank_of[np.argsort(first_obs, kind="stable")] = np.arange(len(uniq))
+    lm_of_valid = rank_of[inv]
+
+    kept_valid = lm_of_valid < max_landmarks
+    n_lm = int(min(len(uniq), max_landmarks))
+    sums = np.zeros((n_lm, 2))
+    np.add.at(sums, lm_of_valid[kept_valid], w[valid][kept_valid])
+    counts = np.bincount(lm_of_valid[kept_valid], minlength=n_lm)
+    landmarks = sums / np.maximum(counts, 1)[:, None]
+
+    obs_lm[valid] = lm_of_valid.astype(np.int32)
+    keep[valid] = kept_valid
+    obs_lm[~keep] = 0
     return landmarks, obs_lm, keep
 
 
@@ -121,12 +226,10 @@ def reinit_landmarks(
 
     sums = np.zeros((max_landmarks, 2))
     counts = np.zeros(max_landmarks)
-    for i in np.flatnonzero(valid):
-        k_idx, j = obs_kf[i], obs_lm[i]
-        dist, bearing = obs_rb[i]
-        sums[j, 0] += kf[k_idx, 0] + dist * np.cos(kf[k_idx, 2] + bearing)
-        sums[j, 1] += kf[k_idx, 1] + dist * np.sin(kf[k_idx, 2] + bearing)
-        counts[j] += 1
+    idx = np.flatnonzero(valid)
+    w = _world_project(kf, obs_kf[idx], obs_rb[idx])
+    np.add.at(sums, obs_lm[idx], w)
+    np.add.at(counts, obs_lm[idx], 1.0)
 
     lm_arr = np.asarray(graph.landmarks, np.float64).copy()
     seen = counts > 0
@@ -138,11 +241,23 @@ def reinit_landmarks(
     )
 
 
+def _associate(kf, obs_kf, obs_rb, gate, max_landmarks, association):
+    """Dispatch: exact greedy for small windows, grid hash at scale."""
+    if association == "auto":
+        association = "grid" if len(obs_kf) > _GRID_THRESHOLD else "greedy"
+    if association == "grid":
+        return _grid_associate(kf, obs_kf, obs_rb, gate, max_landmarks)
+    if association == "greedy":
+        return _greedy_associate(kf, obs_kf, obs_rb, gate, max_landmarks)
+    raise ValueError(f"association must be auto|greedy|grid, got {association}")
+
+
 def reassociate_pose_graph(
     graph: PoseGraph,
     optimized_poses: np.ndarray,
     *,
     association_gate: float = 0.8,
+    association: str = "auto",
 ) -> PoseGraph:
     """Joint re-association: redo landmark data association from OPTIMIZED
     keyframe poses.
@@ -165,8 +280,9 @@ def reassociate_pose_graph(
     max_landmarks = graph.landmarks.shape[0]
 
     idx = np.flatnonzero(valid)
-    landmarks, lm_ids, keep = _greedy_associate(
-        kf, obs_kf[idx], obs_rb[idx], association_gate, max_landmarks
+    landmarks, lm_ids, keep = _associate(
+        kf, obs_kf[idx], obs_rb[idx], association_gate, max_landmarks,
+        association,
     )
 
     obs_lm_arr = np.asarray(graph.obs_lm).copy()
@@ -175,8 +291,8 @@ def reassociate_pose_graph(
     obs_valid_arr[idx] = keep
 
     lm_arr = np.zeros((max_landmarks, 2), np.float32)
-    for j, lm in enumerate(landmarks):
-        lm_arr[j] = lm
+    if len(landmarks):
+        lm_arr[: len(landmarks)] = np.asarray(landmarks, np.float32)
     lm_valid = np.zeros(max_landmarks, bool)
     lm_valid[: len(landmarks)] = True
 
@@ -196,6 +312,7 @@ def build_pose_graph(
     measurement_ids: Sequence[np.ndarray] | None = None,
     session_boundaries: Sequence[int] = (),
     association_gate: float = 0.8,
+    association: str = "auto",
     max_landmarks: int = 256,
     max_factors: int = 4096,
     odo_sigma_xy: float = 0.05,
@@ -226,16 +343,14 @@ def build_pose_graph(
     k = kf.shape[0]
 
     # odometry factors from consecutive keyframe estimates
-    odo_rel = np.zeros((k - 1, 3))
-    for i in range(k - 1):
-        a, b = kf[i], kf[i + 1]
-        c, s = np.cos(a[2]), np.sin(a[2])
-        dx, dy = b[0] - a[0], b[1] - a[1]
-        odo_rel[i] = [
-            c * dx + s * dy,
-            -s * dx + c * dy,
-            (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi,
-        ]
+    a, b = kf[:-1], kf[1:]
+    c, s = np.cos(a[:, 2]), np.sin(a[:, 2])
+    dx, dy = b[:, 0] - a[:, 0], b[:, 1] - a[:, 1]
+    odo_rel = np.stack([
+        c * dx + s * dy,
+        -s * dx + c * dy,
+        (b[:, 2] - a[:, 2] + np.pi) % (2 * np.pi) - np.pi,
+    ], axis=-1)
     odo_valid = np.ones(k - 1, bool)
     for b in session_boundaries:
         if 0 < b <= k - 1:
@@ -246,37 +361,35 @@ def build_pose_graph(
     )
 
     # landmark association: tracker identity when given, else world-frame
-    # greedy clustering
-    all_kf, all_rb, all_tid = [], [], []
-    for i in range(k):
-        ms = np.asarray(measurements[i], np.float64).reshape(-1, 2)
-        tids = (np.asarray(measurement_ids[i], np.int64).reshape(-1)
-                if measurement_ids is not None else np.full(len(ms), -1))
-        for (dist, bearing), tid in zip(ms, tids):
-            all_kf.append(i)
-            all_rb.append([dist, bearing])
-            all_tid.append(tid)
-    all_kf = np.asarray(all_kf, np.int32).reshape(-1)
-    all_rb = np.asarray(all_rb, np.float64).reshape(-1, 2)
+    # clustering (exact greedy small, grid hash at scale — see module doc)
+    counts = [np.asarray(m, np.float64).reshape(-1, 2).shape[0]
+              for m in measurements]
+    all_kf = np.repeat(np.arange(k, dtype=np.int32), counts)
+    all_rb = (np.concatenate(
+        [np.asarray(m, np.float64).reshape(-1, 2) for m in measurements]
+    ) if sum(counts) else np.zeros((0, 2)))
 
     if measurement_ids is not None:
+        all_tid = (np.concatenate(
+            [np.asarray(t, np.int64).reshape(-1) for t in measurement_ids]
+        ) if sum(counts) else np.zeros(0, np.int64))
         landmarks, lm_ids, kept = _associate_by_ids(
-            kf, all_kf, all_rb, np.asarray(all_tid, np.int64), max_landmarks
+            kf, all_kf, all_rb, all_tid, max_landmarks
         )
     else:
-        landmarks, lm_ids, kept = _greedy_associate(
-            kf, all_kf, all_rb, association_gate, max_landmarks
+        landmarks, lm_ids, kept = _associate(
+            kf, all_kf, all_rb, association_gate, max_landmarks, association
         )
-    obs_kf = all_kf[kept].tolist()
-    obs_lm = lm_ids[kept].tolist()
-    obs_rb = all_rb[kept].tolist()
+    obs_kf = all_kf[kept]
+    obs_lm = lm_ids[kept]
+    obs_rb = all_rb[kept]
 
     f = min(len(obs_kf), max_factors)
     l = max_landmarks
 
     lm_arr = np.zeros((l, 2))
-    for j, lm in enumerate(landmarks):
-        lm_arr[j] = lm
+    if len(landmarks):
+        lm_arr[: len(landmarks)] = np.asarray(landmarks)
     lm_valid = np.zeros(l, bool)
     lm_valid[: len(landmarks)] = True
 
@@ -287,8 +400,17 @@ def build_pose_graph(
     if f > 0:
         obs_kf_arr[:f] = obs_kf[:f]
         obs_lm_arr[:f] = obs_lm[:f]
-        obs_rb_arr[:f] = np.asarray(obs_rb[:f]).reshape(f, 2)
+        obs_rb_arr[:f] = obs_rb[:f]
         obs_valid[:f] = True
+    if len(obs_kf) > max_factors:
+        import warnings
+
+        warnings.warn(
+            f"build_pose_graph: {len(obs_kf) - max_factors} of "
+            f"{len(obs_kf)} observation factors dropped (max_factors="
+            f"{max_factors}); raise max_factors to keep them",
+            stacklevel=2,
+        )
     obs_info = np.tile([1.0 / obs_sigma_r ** 2, 1.0 / obs_sigma_b ** 2],
                        (max_factors, 1))
 

@@ -36,13 +36,17 @@ from fastslam_tpu.backend.pose_graph import (
 )
 
 
-def shard_pose_graph(g: PoseGraph, num_shards: int) -> PoseGraph:
+def shard_pose_graph(g: PoseGraph, num_shards: int) -> Tuple[PoseGraph, int]:
     """Re-bucket landmarks/factors so shard s owns landmark slots
     [s*L/n, (s+1)*L/n) and exactly the factors that observe them.
 
-    Returns a PoseGraph whose landmark/factor arrays are permutations with
-    per-shard-local factor capacity; obs_lm stays a GLOBAL slot index (the
-    shard-local conversion happens inside the shard_map body).
+    Returns ``(graph, dropped)``: a PoseGraph whose landmark/factor arrays
+    are permutations with per-shard-local factor capacity (obs_lm stays a
+    GLOBAL slot index; the shard-local conversion happens inside the
+    shard_map body), and the number of valid factors that did NOT fit their
+    owning shard's static capacity (``F/num_shards``).  ``dropped > 0``
+    weakens the optimization — it also triggers a warning; rebalance
+    landmark slots or raise ``max_factors`` to avoid it.
     """
     l = g.landmarks.shape[0]
     f = g.obs_kf.shape[0]
@@ -54,26 +58,34 @@ def shard_pose_graph(g: PoseGraph, num_shards: int) -> PoseGraph:
     obs_valid = np.asarray(g.obs_valid)
     shard_of = obs_lm // per_shard_l
 
-    # bucket factors by owning shard; overflow drops (capacity is static)
-    order = []
-    dropped = 0
-    for s in range(num_shards):
-        members = np.where((shard_of == s) & obs_valid)[0].tolist()
-        if len(members) > per_shard_f:
-            dropped += len(members) - per_shard_f
-            members = members[:per_shard_f]
-        pad = [int(np.argmin(obs_valid))] * (per_shard_f - len(members))
-        order.extend(members + pad)
-        # mark pads invalid below via mask rebuild
-    order = np.asarray(order, np.int64)
-
+    # bucket factors by owning shard; overflow drops (capacity is static).
+    # vectorized: stable-sort valid factors by shard, then clamp each
+    # shard's run to its capacity
+    pad_slot = int(np.argmin(obs_valid)) if not obs_valid.all() else 0
+    order = np.full(f, pad_slot, np.int64)
     new_valid = np.zeros(f, bool)
-    pos = 0
+    valid_idx = np.flatnonzero(obs_valid)
+    by_shard = valid_idx[np.argsort(shard_of[valid_idx], kind="stable")]
+    shard_sizes = np.bincount(shard_of[valid_idx], minlength=num_shards)
+    starts = np.concatenate([[0], np.cumsum(shard_sizes)[:-1]])
+    taken = np.minimum(shard_sizes, per_shard_f)
+    dropped = int(np.sum(shard_sizes - taken))
     for s in range(num_shards):
-        members = np.where((shard_of == s) & obs_valid)[0]
-        n = min(len(members), per_shard_f)
-        new_valid[pos: pos + n] = True
-        pos += per_shard_f
+        n = int(taken[s])
+        dst = s * per_shard_f
+        order[dst: dst + n] = by_shard[int(starts[s]): int(starts[s]) + n]
+        new_valid[dst: dst + n] = True
+
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"shard_pose_graph: {dropped} valid factors overflowed their "
+            f"owning shard's capacity ({per_shard_f}/shard) and were "
+            "DROPPED — the optimization is weakened; rebalance landmark "
+            "slots or raise max_factors",
+            stacklevel=2,
+        )
 
     return g._replace(
         obs_kf=jnp.asarray(np.asarray(g.obs_kf)[order]),
@@ -81,7 +93,7 @@ def shard_pose_graph(g: PoseGraph, num_shards: int) -> PoseGraph:
         obs_rb=jnp.asarray(np.asarray(g.obs_rb)[order]),
         obs_info=jnp.asarray(np.asarray(g.obs_info)[order]),
         obs_valid=jnp.asarray(new_valid),
-    )
+    ), dropped
 
 
 def make_sharded_gn_step(mesh: Mesh, map_axis: str = "map"):
@@ -155,7 +167,7 @@ def optimize_sharded(g: PoseGraph, mesh: Mesh, num_iters: int = 10,
     from fastslam_tpu.backend.pose_graph import total_error
 
     num_shards = mesh.shape[map_axis]
-    g = shard_pose_graph(g, num_shards)
+    g, _dropped = shard_pose_graph(g, num_shards)
     step = make_sharded_gn_step(mesh, map_axis)
 
     err = float(total_error(g.poses, g.landmarks, g))

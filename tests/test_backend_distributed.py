@@ -33,7 +33,8 @@ def make_graph(seed=2, k=12, drift=0.4, max_landmarks=16, max_factors=512):
 
 def test_shard_pose_graph_preserves_factors():
     g, _ = make_graph()
-    g8 = shard_pose_graph(g, 8)
+    g8, dropped = shard_pose_graph(g, 8)
+    assert dropped == 0
     # same multiset of valid factors
     def factor_set(graph):
         v = np.asarray(graph.obs_valid)
@@ -57,7 +58,7 @@ def test_sharded_gn_step_matches_single_device(mesh):
     damp = jnp.float32(1e-4)
     p_want, l_want = gauss_newton_step(g.poses, g.landmarks, g, damp)
 
-    g8 = shard_pose_graph(g, 8)
+    g8, _ = shard_pose_graph(g, 8)
     step = make_sharded_gn_step(mesh)
     p_got, l_got = step(g8, damp)
 
