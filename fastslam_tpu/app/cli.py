@@ -58,6 +58,7 @@ def _force_cpu_if(flag: bool):
 
 
 def cmd_record(args) -> int:
+    _force_cpu_if(args.cpu)
     from fastslam_tpu.drivers.replay import record_log
     from fastslam_tpu.drivers.sim_world import SimWorld
 
@@ -130,6 +131,7 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="runs/log.npz")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--range-noise", type=float, default=0.0)
+    p.add_argument("--cpu", action="store_true", help="force CPU platform")
     p.set_defaults(fn=cmd_record)
 
     p = sub.add_parser("run", help="run SLAM on a replay log, print metrics")
