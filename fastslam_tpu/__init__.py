@@ -24,6 +24,8 @@ from fastslam_tpu.models import (
 )
 
 # engine-native surface
+from fastslam_tpu.app.runner import run_driver
+from fastslam_tpu.drivers.jderobot_hal import HALDriver
 from fastslam_tpu.config import DEFAULT_CONFIG, FastSLAMConfig
 from fastslam_tpu.core.state import FilterState, Measurements, init_state, pad_measurements
 from fastslam_tpu.core.kernels import fastslam_step
@@ -52,6 +54,8 @@ __all__ = [
     "init_state",
     "pad_measurements",
     "fastslam_step",
+    "run_driver",
+    "HALDriver",
 ]
 
 __version__ = "0.1.0"
