@@ -785,6 +785,11 @@ def fastslam_step_planes(
     proposal_floors: Tuple[jax.Array, jax.Array] | None = None,
     *,
     assoc_bf16: bool = False,
+    assoc_shadow: bool = False,
+    # 2-measurement unrolling: bit-exact, measured 5.44 -> 5.09 ms/tick
+    # per-tick and 3.17 -> 2.75 chunked at P=100k/L=64/M=16 (PLAN.md);
+    # falls back to 1 when it does not divide max_measurements
+    unroll: int = 2,
     _skip_ekf: bool = False,
 ) -> Tuple[PlanesState, jax.Array]:
     """One full filter iteration on the planes-layout state.
@@ -851,6 +856,7 @@ def fastslam_step_planes(
             state.lm_cc, state.lm_cd, state.lm_count,
             measurements.range_bearing, measurements.valid, config,
             interpret=config.pallas_interpret, assoc_bf16=assoc_bf16,
+            assoc_shadow=assoc_shadow, unroll=unroll,
             _skip_ekf=_skip_ekf,
         )
         state = state._replace(
@@ -884,6 +890,8 @@ def fastslam_steps_planes_chunked(
     proposal_floors: Tuple[jax.Array, jax.Array] | None = None,
     *,
     assoc_bf16: bool = False,
+    assoc_shadow: bool = False,
+    unroll: int = 2,   # bit-exact scheduling win — see fastslam_step_planes
 ) -> Tuple[PlanesState, jax.Array]:
     """C filter ticks in ONE fused kernel invocation (production mode only).
 
@@ -965,6 +973,7 @@ def fastslam_steps_planes_chunked(
                 measurements.range_bearing, measurements.valid,
                 noisy_rot, noisy_trans, config,
                 interpret=config.pallas_interpret, assoc_bf16=assoc_bf16,
+                assoc_shadow=assoc_shadow, unroll=unroll,
             )
         )
 

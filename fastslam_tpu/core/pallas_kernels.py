@@ -152,7 +152,7 @@ def _round_up(x: int, m: int) -> int:
 def _apply_measurement(
     carry, pose_rows, z_scalars, *,
     slot, gate, meas_noise, default_cov, parity, assoc_bf16, skip_ekf,
-    weight_update: bool = True,
+    weight_update: bool = True, shadow: bool = False,
 ):
     """One measurement through association + 2x2 EKF + weighting, on a
     particle tile in the planes layout.  Shared by the single-tick kernel
@@ -162,11 +162,22 @@ def _apply_measurement(
     measurement likelihood into the weights (the FastSLAM 2.0 proposal
     already weighted by the measurement evidence).
 
-    carry:      (mx, my, ca, cb, cc, cd [L, T], detp [L, T], cnt, logw [1, T])
+    ``shadow=True`` carries six EXTRA bf16 copies of the landmark planes and
+    runs the association distance math on them at 2x lane density — unlike
+    ``assoc_bf16`` (which converts the f32 planes per measurement and was
+    measured net-negative), the shadows convert only on slot WRITES.  The
+    EKF itself always reads/writes the f32 planes.  Production mode only.
+
+    carry:      (mx, my, ca, cb, cc, cd [L, T], detp [L, T], cnt, logw [1, T]
+                 [+ smx, smy, sca, scb, scc, scd bf16 [L, T] when shadow])
     pose_rows:  (px, py, yaw, cyaw, syaw) as [1, T] rows
     z_scalars:  (dist_z, bearing_z, cos_b, sin_b, z_ok) SMEM scalars
     """
-    mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
+    if shadow:
+        (mx, my, ca, cb, cc, cd, detp, cnt, logw,
+         smx, smy, sca, scb, scc, scd) = carry
+    else:
+        mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
     px, py, yaw, cyaw, syaw = pose_rows
     dist_z, bearing_z, cos_b, sin_b, z_ok = z_scalars
     l = mx.shape[0]
@@ -184,7 +195,15 @@ def _apply_measurement(
         dx_q = mx - wx
         dy_q = my - wy
 
-    if assoc_bf16:
+    if shadow:
+        # whole distance pass in bf16 against the shadow planes: only the
+        # two [1, T] observation rows convert per measurement
+        bf = jnp.bfloat16
+        dxb = smx - wx.astype(bf)
+        dyb = smy - wy.astype(bf)
+        d2f = (dxb * (scd * dxb - scb * dyb)
+               + dyb * (-scc * dxb + sca * dyb)).astype(mx.dtype)
+    elif assoc_bf16:
         # distance math in bf16: 2x lane density on the dominant [L, T]
         # ops; the gate boundary blurs by ~0.5% (production mode only)
         bf = jnp.bfloat16
@@ -337,6 +356,19 @@ def _apply_measurement(
     cnt = cnt + do_append.astype(jnp.int32)
     if weight_update:
         logw = jnp.where(do_update, logw + log_lik, logw)
+    if shadow:
+        # refresh the bf16 shadows of the slots this measurement touched
+        # (half-rate [L, T] selects; values are the f32 writes, rounded)
+        bf = jnp.bfloat16
+        brow = lambda u, a_: jnp.where(do_update, u, a_).astype(bf)
+        smx = jnp.where(tgt, brow(new_mu_x, wx), smx)
+        smy = jnp.where(tgt, brow(new_mu_y, wy), smy)
+        sca = jnp.where(tgt, brow(new_a, default_cov), sca)
+        scb = jnp.where(tgt, brow(new_b, 0.0), scb)
+        scc = jnp.where(tgt, brow(new_c, 0.0), scc)
+        scd = jnp.where(tgt, brow(new_d, default_cov), scd)
+        return (mx, my, ca, cb, cc, cd, detp, cnt, logw,
+                smx, smy, sca, scb, scc, scd)
     return mx, my, ca, cb, cc, cd, detp, cnt, logw
 
 
@@ -361,6 +393,8 @@ def _fused_update_kernel(
     default_cov: float,
     parity: bool,
     assoc_bf16: bool = False,
+    assoc_shadow: bool = False,
+    unroll: int = 1,
     _skip_ekf: bool = False,
 ):
     """Layout note: particles occupy the LANE dimension (last axis) and
@@ -411,15 +445,38 @@ def _fused_update_kernel(
              zvalid_ref[m, 0] > 0),
             slot=slot, gate=gate, meas_noise=meas_noise,
             default_cov=default_cov, parity=parity, assoc_bf16=assoc_bf16,
-            skip_ekf=_skip_ekf,
+            skip_ekf=_skip_ekf, shadow=assoc_shadow,
         )
 
+    carry = (mx, my, ca, cb, cc, cd, detp, cnt, logw)
+    if assoc_shadow:
+        # bf16 shadows initialized ONCE per tile (amortized over the loop)
+        bf = jnp.bfloat16
+        carry = carry + (mx.astype(bf), my.astype(bf), ca.astype(bf),
+                         cb.astype(bf), cc.astype(bf), cd.astype(bf))
+
     # dynamic trip count: stop after the last valid measurement (padded
-    # masks are packed-first, so this skips the tail for free)
-    mx, my, ca, cb, cc, cd, detp, cnt, logw = jax.lax.fori_loop(
-        0, jnp.minimum(mlast_ref[0], num_measurements), _measurement_body,
-        (mx, my, ca, cb, cc, cd, detp, cnt, logw),
-    )
+    # masks are packed-first, so this skips the tail for free).  Unrolling
+    # is MANUAL (a Python loop in the round body — lax.fori_loop's unroll=
+    # does not lower through Mosaic); the round count stays DYNAMIC
+    # (ceil(mlast/unroll)), so the padded-tail saving is kept to unroll
+    # granularity and overshoot slots are z_ok-gated no-ops.
+    mtrip = jnp.minimum(mlast_ref[0], num_measurements)
+    if unroll > 1:
+        if num_measurements % unroll:
+            raise ValueError("unroll must divide max_measurements")
+
+        def _round_body(i, carry):
+            for j in range(unroll):
+                carry = _measurement_body(i * unroll + j, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(
+            0, (mtrip + unroll - 1) // unroll, _round_body, carry,
+        )
+    else:
+        carry = jax.lax.fori_loop(0, mtrip, _measurement_body, carry)
+    mx, my, ca, cb, cc, cd, detp, cnt, logw = carry[:9]
 
     logw_out[:, :] = logw
     mx_out[:, :] = mx
@@ -490,6 +547,8 @@ def fused_update_planes(
     *,
     interpret: bool = False,
     assoc_bf16: bool = False,
+    assoc_shadow: bool = False,
+    unroll: int = 1,
     _skip_ekf: bool = False,
 ):
     """Planes-native fused measurement update — zero layout conversions.
@@ -526,6 +585,11 @@ def fused_update_planes(
     plane = pl.BlockSpec((l, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((1, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
+    if assoc_shadow and (config.parity_mode or _skip_ekf):
+        raise ValueError("assoc_shadow is a production-mode lever (and "
+                         "pointless with _skip_ekf)")
+    if m % unroll:
+        unroll = 1  # unroll must divide the measurement capacity
     kernel = functools.partial(
         _fused_update_kernel,
         num_measurements=m,
@@ -534,6 +598,8 @@ def fused_update_planes(
         default_cov=float(config.default_landmark_cov),
         parity=bool(config.parity_mode),
         assoc_bf16=assoc_bf16,
+        assoc_shadow=assoc_shadow,
+        unroll=unroll,
         _skip_ekf=_skip_ekf,
     )
 
@@ -1024,6 +1090,8 @@ def _fused_multi_kernel(
     default_cov: float,
     parity: bool,
     assoc_bf16: bool = False,
+    assoc_shadow: bool = False,
+    unroll: int = 1,
 ):
     """C full filter ticks (propagate + measurement loop) on one particle
     tile with the landmark planes resident in VMEM throughout.
@@ -1070,7 +1138,7 @@ def _fused_multi_kernel(
     detp = jnp.where(slot < cnt, ca * cd - cb * cc, -1.0)
 
     def tick_body(k, carry):
-        px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
+        (px, py, yaw, cyaw, syaw), mcarry = carry[:5], carry[5:]
 
         # ---- propagate (reference fast_slam_2.py:69-87 semantics) ----
         nrot = nrot_ref[pl.ds(k, 1), :]          # [1, T]
@@ -1096,13 +1164,27 @@ def _fused_multi_kernel(
                  zvalid_ref[zi, 0] > 0),
                 slot=slot, gate=gate, meas_noise=meas_noise,
                 default_cov=default_cov, parity=parity,
-                assoc_bf16=assoc_bf16, skip_ekf=False,
+                assoc_bf16=assoc_bf16, skip_ekf=False, shadow=assoc_shadow,
             )
 
-        mx, my, ca, cb, cc, cd, detp, cnt, logw = jax.lax.fori_loop(
-            0, jnp.minimum(mlast_ref[k], num_measurements), _measurement_body,
-            (mx, my, ca, cb, cc, cd, detp, cnt, logw),
-        )
+        mtrip = jnp.minimum(mlast_ref[k], num_measurements)
+        if unroll > 1:
+            # manual unroll; dynamic ROUND count keeps the padded-tail
+            # saving to unroll granularity (overshoot = z_ok no-ops)
+            if num_measurements % unroll:
+                raise ValueError("unroll must divide max_measurements")
+
+            def _round_body(i, mcarry):
+                for j in range(unroll):
+                    mcarry = _measurement_body(i * unroll + j, mcarry)
+                return mcarry
+
+            mcarry = jax.lax.fori_loop(
+                0, (mtrip + unroll - 1) // unroll, _round_body, mcarry,
+            )
+        else:
+            mcarry = jax.lax.fori_loop(0, mtrip, _measurement_body, mcarry)
+        logw = mcarry[8]
 
         # ---- per-tick trajectory rows ----
         tx_out[pl.ds(k, 1), :] = px
@@ -1110,14 +1192,18 @@ def _fused_multi_kernel(
         tyaw_out[pl.ds(k, 1), :] = yaw
         tlogw_out[pl.ds(k, 1), :] = logw
 
-        return px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw
+        return (px, py, yaw, cyaw, syaw) + tuple(mcarry)
 
-    (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw) = (
-        jax.lax.fori_loop(
-            0, num_ticks, tick_body,
-            (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw),
-        )
+    mcarry0 = (mx, my, ca, cb, cc, cd, detp, cnt, logw)
+    if assoc_shadow:
+        bf = jnp.bfloat16
+        mcarry0 = mcarry0 + (mx.astype(bf), my.astype(bf), ca.astype(bf),
+                             cb.astype(bf), cc.astype(bf), cd.astype(bf))
+    carry = jax.lax.fori_loop(
+        0, num_ticks, tick_body,
+        (px, py, yaw, cyaw, syaw) + mcarry0,
     )
+    mx, my, ca, cb, cc, cd, detp, cnt = carry[5:13]
 
     mx_out[:, :] = mx
     my_out[:, :] = my
@@ -1146,6 +1232,8 @@ def fused_update_planes_multi(
     *,
     interpret: bool = False,
     assoc_bf16: bool = False,
+    assoc_shadow: bool = False,
+    unroll: int = 1,
 ):
     """C chunked filter ticks with VMEM-resident landmark planes.
 
@@ -1183,6 +1271,10 @@ def fused_update_planes_multi(
     rowspec = pl.BlockSpec((1, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
     tickspec = pl.BlockSpec((cp, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
+    if assoc_shadow and config.parity_mode:
+        raise ValueError("assoc_shadow is a production-mode lever")
+    if m % unroll:
+        unroll = 1  # unroll must divide the measurement capacity
     kernel = functools.partial(
         _fused_multi_kernel,
         num_ticks=c,
@@ -1192,6 +1284,8 @@ def fused_update_planes_multi(
         default_cov=float(config.default_landmark_cov),
         parity=bool(config.parity_mode),
         assoc_bf16=assoc_bf16,
+        assoc_shadow=assoc_shadow,
+        unroll=unroll,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

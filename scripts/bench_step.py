@@ -26,6 +26,11 @@ def main():
                     help="planes-native state (no per-step transposes)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--bf16-assoc", action="store_true")
+    ap.add_argument("--bf16-shadow", action="store_true",
+                    help="bf16 SHADOW planes for association (converted on "
+                         "writes, not per measurement)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="measurement-loop unroll factor (static trip)")
     ap.add_argument("--skip-ekf", action="store_true",
                     help="association-only timing experiment")
     ap.add_argument("--no-resample", action="store_true",
@@ -139,7 +144,8 @@ def main():
 
         def body(s, _):
             s, est = fastslam_steps_planes_chunked(
-                s, rots, trans, ms_c, cfg, assoc_bf16=args.bf16_assoc
+                s, rots, trans, ms_c, cfg, assoc_bf16=args.bf16_assoc,
+                assoc_shadow=args.bf16_shadow, unroll=args.unroll,
             )
             return s, est[-1]
     elif args.planes and args.fused_only:
@@ -153,7 +159,8 @@ def main():
                 s.poses, s.log_weights, s.lm_mx, s.lm_my, s.lm_ca, s.lm_cb,
                 s.lm_cc, s.lm_cd, s.lm_count,
                 ms.range_bearing, ms.valid, cfg,
-                assoc_bf16=args.bf16_assoc, _skip_ekf=args.skip_ekf,
+                assoc_bf16=args.bf16_assoc, assoc_shadow=args.bf16_shadow,
+                unroll=args.unroll, _skip_ekf=args.skip_ekf,
             )
             s = s._replace(log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca,
                            lm_cb=cb, lm_cc=cc, lm_cd=cd, lm_count=cnt)
@@ -167,7 +174,8 @@ def main():
         def body(s, _):
             s, pose = fastslam_step_planes(
                 s, jnp.float32(0.0), jnp.float32(0.4), ms, cfg,
-                assoc_bf16=args.bf16_assoc, _skip_ekf=args.skip_ekf,
+                assoc_bf16=args.bf16_assoc, assoc_shadow=args.bf16_shadow,
+                unroll=args.unroll, _skip_ekf=args.skip_ekf,
             )
             return s, pose
     elif args.bf16_assoc or args.skip_ekf:

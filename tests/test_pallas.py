@@ -292,3 +292,74 @@ def test_chunked_step_runs_and_estimates():
             state, rots, trans, Measurements(rb, valid),
             cfg.replace(parity_mode=True),
         )
+
+
+def test_unroll_is_bit_exact_and_shadow_tracks_f32():
+    """The manual measurement-loop unroll must be a pure scheduling change
+    (bit-exact), and bf16 shadow association must track the f32 path (same
+    decisions away from gate boundaries => same EKF arithmetic)."""
+    from fastslam_tpu.core.state import init_planes_state
+
+    cfg = FastSLAMConfig(
+        num_particles=256, max_landmarks=16, max_measurements=8,
+        parity_mode=False, use_pallas=True, pallas_interpret=True,
+    )
+    ms = pad_measurements(
+        cfg, [(2.0 + 0.3 * i, -2.0 + 0.4 * i) for i in range(5)]
+    )
+
+    def run(**kw):
+        st = init_planes_state(cfg, rng=0)
+        for _ in range(4):
+            st, est = kernels.fastslam_step_planes(
+                st, jnp.float32(0.0), jnp.float32(0.4), ms, cfg, **kw
+            )
+        return st, est
+
+    base_st, base_est = run()
+    for unroll in (2, 4):
+        u_st, u_est = run(unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(u_st.lm_mx),
+                                      np.asarray(base_st.lm_mx))
+        np.testing.assert_array_equal(np.asarray(u_st.log_weights),
+                                      np.asarray(base_st.log_weights))
+        np.testing.assert_array_equal(np.asarray(u_est),
+                                      np.asarray(base_est))
+
+    s_st, s_est = run(assoc_shadow=True)
+    # this synthetic case sits far from every gate boundary, so the bf16
+    # association makes identical decisions and the (f32) EKF matches
+    np.testing.assert_allclose(np.asarray(s_st.lm_mx),
+                               np.asarray(base_st.lm_mx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_est), np.asarray(base_est),
+                               atol=1e-6)
+
+
+def test_chunked_unroll_and_shadow_flags():
+    from fastslam_tpu.core.state import Measurements, init_planes_state
+
+    cfg = FastSLAMConfig(
+        num_particles=256, max_landmarks=16, max_measurements=8,
+        parity_mode=False, use_pallas=True, pallas_interpret=True,
+    )
+    ms = pad_measurements(
+        cfg, [(2.0 + 0.3 * i, -2.0 + 0.4 * i) for i in range(5)]
+    )
+    c = 4
+    msc = Measurements(jnp.tile(ms.range_bearing[None], (c, 1, 1)),
+                       jnp.tile(ms.valid[None], (c, 1)))
+
+    def run(**kw):
+        st = init_planes_state(cfg, rng=0)
+        return kernels.fastslam_steps_planes_chunked(
+            st, jnp.zeros(c), jnp.full(c, 0.4), msc, cfg, **kw
+        )
+
+    base_st, base_est = run()
+    u_st, u_est = run(unroll=2)
+    np.testing.assert_array_equal(np.asarray(u_est), np.asarray(base_est))
+    np.testing.assert_array_equal(np.asarray(u_st.lm_mx),
+                                  np.asarray(base_st.lm_mx))
+    s_st, s_est = run(assoc_shadow=True)
+    np.testing.assert_allclose(np.asarray(s_est), np.asarray(base_est),
+                               atol=1e-6)
