@@ -73,7 +73,11 @@ def bench_tpu(num_steps: int = 96, chunk: int = 8):
         )
 
         def body(s, _):
-            s, est = fastslam_steps_planes_chunked(s, rots, trans, ms_c, config)
+            # unroll=4: best measured chunked config (bit-exact scheduling
+            # change; eval_results/lever_bench.json — 2.61 vs 3.17 ms/tick)
+            s, est = fastslam_steps_planes_chunked(
+                s, rots, trans, ms_c, config, unroll=4
+            )
             return s, est[-1]
 
         multi = jax.jit(
