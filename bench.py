@@ -23,7 +23,43 @@ import time
 import numpy as np
 
 
-def bench_tpu(num_steps: int = 96, chunk: int = 8):
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the headline config compiles in
+    ~40 s - 15 min on this remote-TPU tunnel (variance is the tunnel's, not
+    the program's); caching makes repeat bench runs start instantly and
+    makes deeper-unroll configs affordable."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_fastslam"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+def _timed_best(fn, sync, *, reps: int, budget_s: float) -> float:
+    """Best-of-N wall time of ``fn`` (sync'd via ``sync``), stopping early
+    only when the time budget runs out.  The chip is SHARED: co-tenant
+    contention windows were observed inflating runs ~6x for minutes at a
+    time, and round-2's official headline lagged the same config's measured
+    best by 37% because best-of-3 landed inside one.  Many repetitions
+    spread over a longer window make one burst unable to define the number;
+    the BEST is the engine's throughput (the rest is the neighbor's)."""
+    best = float("inf")
+    t_start = time.perf_counter()
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        sync(fn())
+        best = min(best, time.perf_counter() - t0)
+        if rep >= 2 and time.perf_counter() - t_start > budget_s:
+            break
+    return best
+
+
+def bench_tpu(num_steps: int = 96, chunk: int = 8, proposal: str = "motion",
+              reps: int = 12, budget_s: float = 90.0):
     """Time ``num_steps`` data-dependent filter ticks inside ONE jit via
     ``lax.scan`` — one dispatch, one block.  This is immune to async-dispatch
     accounting artifacts (this container's remote-TPU runtime can report
@@ -56,6 +92,8 @@ def bench_tpu(num_steps: int = 96, chunk: int = 8):
     config = FastSLAMConfig(
         num_particles=100_000, max_landmarks=64, max_measurements=16,
         use_pallas=on_tpu, parity_mode=not on_tpu,
+        proposal_mode=("fastslam2" if proposal == "fastslam2" and on_tpu
+                       else "motion"),
     )
     ms_list = [(2.0 + 0.3 * i, -2.5 + 0.35 * i) for i in range(16)]
     ms = pad_measurements(config, ms_list)
@@ -106,16 +144,20 @@ def bench_tpu(num_steps: int = 96, chunk: int = 8):
     # block_until_ready AND a small host readback (on this remote-TPU runtime
     # block_until_ready can return early even for a single scan dispatch —
     # CLAUDE.md — while a readback of the final estimate row cannot, since it
-    # depends on every step of the scan).  The BEST repetition is reported:
-    # the chip is shared, and transient co-tenant contention (observed to
-    # inflate a window of runs ~6x) should not define the engine's number.
-    best = float("inf")
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        state2, est = multi(state2)
-        jax.block_until_ready(state2)
+    # depends on every step of the scan).
+    holder = {"s": state2}
+
+    def run():
+        s, est = multi(holder["s"])
+        holder["s"] = s  # donated input — rebind for the next repetition
+        return s, est
+
+    def sync(out):
+        s, est = out
+        jax.block_until_ready(s)
         _ = np.asarray(est[-1])
-        best = min(best, time.perf_counter() - t0)
+
+    best = _timed_best(run, sync, reps=reps, budget_s=budget_s)
 
     # conservative: the planes engine actually runs ceil-to-tile particles
     updates = config.num_particles * config.max_measurements * num_steps
@@ -185,13 +227,19 @@ def bench_e2e(num_steps: int = 64):
     jax.block_until_ready(state2)
     _ = np.asarray(est[-1])
 
-    best = float("inf")
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        state2, est = multi(state2, xs)
-        jax.block_until_ready(state2)
+    holder = {"s": state2}
+
+    def run():
+        s, est = multi(holder["s"], xs)
+        holder["s"] = s
+        return s, est
+
+    def sync(out):
+        s, est = out
+        jax.block_until_ready(s)
         _ = np.asarray(est[-1])
-        best = min(best, time.perf_counter() - t0)
+
+    best = _timed_best(run, sync, reps=8, budget_s=45.0)
     return num_steps / best
 
 
@@ -219,7 +267,12 @@ def bench_oracle_baseline(num_ticks: int = 2, num_particles: int = 100):
 
 
 def main():
+    _enable_compilation_cache()
     ups, step_s = bench_tpu()
+    # throughput of the accuracy-flagship FastSLAM 2.0 mode, tracked
+    # round-over-round alongside the motion-proposal headline
+    fs2_ups, fs2_step_s = bench_tpu(num_steps=48, proposal="fastslam2",
+                                    reps=8, budget_s=60.0)
     e2e_fps = bench_e2e()
     base_ups = bench_oracle_baseline()
     print(
@@ -230,6 +283,9 @@ def main():
                 "unit": "updates/s",
                 "vs_baseline": round(ups / base_ups, 1),
                 "step_seconds": round(step_s, 6),
+                # FastSLAM 2.0 proposal mode, same geometry
+                "fs2_step_seconds": round(fs2_step_s, 6),
+                "fs2_updates_per_s": round(fs2_ups),
                 # online loop including the perception frontend, P=100k
                 "e2e_frames_per_s": round(e2e_fps, 1),
                 "baseline_updates_per_s": round(base_ups),

@@ -429,7 +429,8 @@ class SLAMRunner:
 
     def set_state_blocks(self, state: FilterState) -> None:
         """Install a block-layout state (e.g. after health recovery)."""
-        self.state = to_planes(state) if self.uses_planes else state
+        self.state = (to_planes(state, self.config) if self.uses_planes
+                      else state)
 
 
 def run_driver(

@@ -121,6 +121,10 @@ def _grid_associate(
     np.add.at(lm_sums, lm_of_obs[keep], w[keep])
     lm_counts = np.bincount(lm_of_obs[keep], minlength=n_lm).astype(np.float64)
     landmarks = lm_sums / np.maximum(lm_counts, 1.0)[:, None]
+    # zero capacity-dropped ids (masked by ``keep`` downstream) so no
+    # out-of-range slot index ever reaches shard_of = obs_lm // per_shard_l,
+    # matching _associate_by_ids
+    lm_of_obs = np.where(keep, lm_of_obs, 0)
     return landmarks, lm_of_obs.astype(np.int32), keep
 
 

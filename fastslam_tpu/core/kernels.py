@@ -747,7 +747,9 @@ def resample_planes_state(state: PlanesState, idx: jax.Array,
         log_weights=new_log_w,
         lm_mx=g(state.lm_mx), lm_my=g(state.lm_my),
         lm_ca=g(state.lm_ca), lm_cb=g(state.lm_cb),
-        lm_cc=g(state.lm_cc), lm_cd=g(state.lm_cd),
+        # no cc plane on the production path (cc == cb; see PlanesState)
+        lm_cc=None if state.lm_cc is None else g(state.lm_cc),
+        lm_cd=g(state.lm_cd),
         lm_count=jnp.take(state.lm_count, idx, axis=0),
     )
 
@@ -896,7 +898,7 @@ def fastslam_steps_planes_chunked(
     """C filter ticks in ONE fused kernel invocation (production mode only).
 
     The landmark planes stay VMEM-resident across the whole chunk, so the
-    six-plane HBM stream — the per-tick fixed cost of
+    five-plane HBM stream — the per-tick fixed cost of
     :func:`fastslam_step_planes` (~300 MB/tick at P=100k, L=64) — is paid
     once per chunk instead of once per tick.  Semantics vs the per-tick step:
 

@@ -152,7 +152,7 @@ def _round_up(x: int, m: int) -> int:
 def _apply_measurement(
     carry, pose_rows, z_scalars, *,
     slot, gate, meas_noise, default_cov, parity, assoc_bf16, skip_ekf,
-    weight_update: bool = True, shadow: bool = False,
+    weight_update: bool = True, shadow: bool = False, sym: bool = False,
 ):
     """One measurement through association + 2x2 EKF + weighting, on a
     particle tile in the planes layout.  Shared by the single-tick kernel
@@ -162,13 +162,24 @@ def _apply_measurement(
     measurement likelihood into the weights (the FastSLAM 2.0 proposal
     already weighted by the measurement evidence).
 
+    ``sym=True`` drops the redundant ``cc`` covariance plane: the production
+    EKF symmetrizes every covariance write (``new_b == new_c`` below) and
+    appends set ``b = c = 0``, so ``cc == cb`` is invariant on that path.
+    The carry omits ``cc``; formulas read ``cb`` in its place (bit-identical
+    values), the matched-slot gather and the slot-write select for ``cc``
+    disappear (~4 [L, T] passes/measurement), and one whole [L, P] plane
+    drops out of the HBM stream and the VMEM working set.  Production mode
+    only — the parity path keeps the reference's asymmetric (I-KH)S update
+    (fast_slam_2.py:146) exactly.
+
     ``shadow=True`` carries six EXTRA bf16 copies of the landmark planes and
     runs the association distance math on them at 2x lane density — unlike
     ``assoc_bf16`` (which converts the f32 planes per measurement and was
     measured net-negative), the shadows convert only on slot WRITES.  The
     EKF itself always reads/writes the f32 planes.  Production mode only.
 
-    carry:      (mx, my, ca, cb, cc, cd [L, T], detp [L, T], cnt, logw [1, T]
+    carry:      (mx, my, ca, cb, [cc,] cd [L, T], detp [L, T], cnt, logw
+                 [1, T]; no cc when sym
                  [+ smx, smy, sca, scb, scc, scd bf16 [L, T] when shadow])
     pose_rows:  (px, py, yaw, cyaw, syaw) as [1, T] rows
     z_scalars:  (dist_z, bearing_z, cos_b, sin_b, z_ok) SMEM scalars
@@ -176,6 +187,9 @@ def _apply_measurement(
     if shadow:
         (mx, my, ca, cb, cc, cd, detp, cnt, logw,
          smx, smy, sca, scb, scc, scd) = carry
+    elif sym:
+        mx, my, ca, cb, cd, detp, cnt, logw = carry
+        cc = cb  # alias — same values, no extra plane
     else:
         mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
     px, py, yaw, cyaw, syaw = pose_rows
@@ -260,6 +274,8 @@ def _apply_measurement(
         logw = jnp.where(
             z_ok, logw + jnp.sum(oh, axis=0, keepdims=True) * 1e-9, logw
         )
+        if sym:
+            return mx, my, ca, cb, cd, detp, cnt, logw
         return mx, my, ca, cb, cc, cd, detp, cnt, logw
 
     # gather matched slot by one-hot contraction (sublane reduction)
@@ -267,7 +283,8 @@ def _apply_measurement(
     mu_y = jnp.sum(my * oh, axis=0, keepdims=True)
     a = jnp.sum(ca * oh, axis=0, keepdims=True)
     b = jnp.sum(cb * oh, axis=0, keepdims=True)
-    c = jnp.sum(cc * oh, axis=0, keepdims=True)
+    # cc == cb when sym, so its gather IS the b gather (one [L, T] pass saved)
+    c = b if sym else jnp.sum(cc * oh, axis=0, keepdims=True)
     d = jnp.sum(cd * oh, axis=0, keepdims=True)
 
     dx = mu_x - px
@@ -346,7 +363,9 @@ def _apply_measurement(
     my = jnp.where(tgt, row(new_mu_y, wy), my)
     ca = jnp.where(tgt, row(new_a, default_cov), ca)
     cb = jnp.where(tgt, row(new_b, 0.0), cb)
-    cc = jnp.where(tgt, row(new_c, 0.0), cc)
+    if not sym:
+        # when sym, new_b == new_c (symmetrized above) — no cc plane to write
+        cc = jnp.where(tgt, row(new_c, 0.0), cc)
     cd = jnp.where(tgt, row(new_d, default_cov), cd)
     new_det = new_a * new_d - new_b * new_c      # [1, T] row, cheap
     detp = jnp.where(
@@ -369,6 +388,8 @@ def _apply_measurement(
         scd = jnp.where(tgt, brow(new_d, default_cov), scd)
         return (mx, my, ca, cb, cc, cd, detp, cnt, logw,
                 smx, smy, sca, scb, scc, scd)
+    if sym:
+        return mx, my, ca, cb, cd, detp, cnt, logw
     return mx, my, ca, cb, cc, cd, detp, cnt, logw
 
 
@@ -377,16 +398,11 @@ def _fused_update_kernel(
     z_ref,        # [M, 4] SMEM: (distance, bearing, cos(bearing), sin(bearing))
     zvalid_ref,   # [M, 1] SMEM int32
     mlast_ref,    # [1] SMEM int32: last valid measurement index + 1
-    # inputs (VMEM tiles, TRANSPOSED layout: particles on the lane axis)
-    px_ref, py_ref, yaw_ref,          # [1, T]
-    cy_ref, sy_ref,                   # [1, T] cos(yaw), sin(yaw)
-    logw_in,                          # [1, T]
-    mx_in, my_in,                     # [L, T]
-    ca_in, cb_in, cc_in, cd_in,       # [L, T]
-    cnt_in,                           # [1, T] int32
-    # outputs
-    logw_out, mx_out, my_out, ca_out, cb_out, cc_out, cd_out, cnt_out,
-    *,
+    # VMEM refs, packed (the cc plane is ABSENT when sym — see below):
+    #   inputs:  px, py, yaw, cy, sy, logw [1, T];
+    #            mx, my, ca, cb, [cc,] cd [L, T]; cnt [1, T] int32
+    #   outputs: logw; mx, my, ca, cb, [cc,] cd; cnt
+    *refs,
     num_measurements: int,
     gate: float,
     meas_noise: float,
@@ -394,6 +410,7 @@ def _fused_update_kernel(
     parity: bool,
     assoc_bf16: bool = False,
     assoc_shadow: bool = False,
+    sym: bool = False,
     unroll: int = 1,
     _skip_ekf: bool = False,
 ):
@@ -417,6 +434,17 @@ def _fused_update_kernel(
     pinned to -1), replacing the per-measurement ``slot < cnt`` mask and the
     3-op determinant recompute with one compare; appends and EKF updates
     refresh the affected slot from cheap [1, T] row math."""
+    n_cov = 3 if sym else 4
+    n_in = 6 + 2 + n_cov + 1          # pose rows+logw, means, covs, cnt
+    (px_ref, py_ref, yaw_ref, cy_ref, sy_ref, logw_in) = refs[:6]
+    mx_in, my_in = refs[6:8]
+    cov_in = refs[8:8 + n_cov]
+    cnt_in = refs[8 + n_cov]
+    logw_out = refs[n_in]
+    mx_out, my_out = refs[n_in + 1:n_in + 3]
+    cov_out = refs[n_in + 3:n_in + 3 + n_cov]
+    cnt_out = refs[n_in + 3 + n_cov]
+
     l, t = mx_in.shape
     px = px_ref[:, :]                 # [1, T]
     py = py_ref[:, :]
@@ -426,10 +454,12 @@ def _fused_update_kernel(
 
     mx = mx_in[:, :]
     my = my_in[:, :]
-    ca = ca_in[:, :]
-    cb = cb_in[:, :]
-    cc = cc_in[:, :]
-    cd = cd_in[:, :]
+    covs = tuple(r[:, :] for r in cov_in)
+    if sym:
+        ca, cb, cd = covs
+        cc = cb
+    else:
+        ca, cb, cc, cd = covs
     cnt = cnt_in[:, :]                # [1, T] int32
     logw = logw_in[:, :]
 
@@ -445,10 +475,13 @@ def _fused_update_kernel(
              zvalid_ref[m, 0] > 0),
             slot=slot, gate=gate, meas_noise=meas_noise,
             default_cov=default_cov, parity=parity, assoc_bf16=assoc_bf16,
-            skip_ekf=_skip_ekf, shadow=assoc_shadow,
+            skip_ekf=_skip_ekf, shadow=assoc_shadow, sym=sym,
         )
 
-    carry = (mx, my, ca, cb, cc, cd, detp, cnt, logw)
+    if sym:
+        carry = (mx, my, ca, cb, cd, detp, cnt, logw)
+    else:
+        carry = (mx, my, ca, cb, cc, cd, detp, cnt, logw)
     if assoc_shadow:
         # bf16 shadows initialized ONCE per tile (amortized over the loop)
         bf = jnp.bfloat16
@@ -476,15 +509,18 @@ def _fused_update_kernel(
         )
     else:
         carry = jax.lax.fori_loop(0, mtrip, _measurement_body, carry)
-    mx, my, ca, cb, cc, cd, detp, cnt, logw = carry[:9]
+    if sym:
+        mx, my, ca, cb, cd, detp, cnt, logw = carry[:8]
+        new_covs = (ca, cb, cd)
+    else:
+        mx, my, ca, cb, cc, cd, detp, cnt, logw = carry[:9]
+        new_covs = (ca, cb, cc, cd)
 
     logw_out[:, :] = logw
     mx_out[:, :] = mx
     my_out[:, :] = my
-    ca_out[:, :] = ca
-    cb_out[:, :] = cb
-    cc_out[:, :] = cc
-    cd_out[:, :] = cd
+    for ref, val in zip(cov_out, new_covs):
+        ref[:, :] = val
     cnt_out[:, :] = cnt
 
 
@@ -526,6 +562,8 @@ def fused_update(
         pad(lm_count), z, z_valid, config,
         interpret=interpret, assoc_bf16=assoc_bf16, _skip_ekf=_skip_ekf,
     )
+    if cc is None:  # production: symmetric covariance, cc == cb
+        cc = cb
     new_mean = jnp.stack([mx.T[:p], my.T[:p]], axis=-1)
     new_cov = jnp.stack([ca.T[:p], cb.T[:p], cc.T[:p], cd.T[:p]], axis=-1)
     return logw[:p], new_mean, new_cov, cnt[:p]
@@ -558,7 +596,14 @@ def fused_update_planes(
     are reshaped to ``[1, P]`` rows (free).  ``P`` must be a multiple of 128
     (see :func:`~fastslam_tpu.core.state.planes_particle_count`).
 
-    Returns ``(log_weights [P], mx, my, ca, cb, cc, cd [L, P], lm_count [P])``.
+    Production mode streams only FIVE planes: the symmetrized EKF keeps
+    ``cc == cb`` invariant, so ``lm_cc`` is dropped (pass ``None``; an array
+    is accepted and ignored) and the returned ``cc`` is ``None`` — matching
+    :class:`~fastslam_tpu.core.state.PlanesState`'s production contract.
+    Parity mode keeps all six planes and ``lm_cc`` must be a real array.
+
+    Returns ``(log_weights [P], mx, my, ca, cb, cc, cd [L, P], lm_count [P])``
+    with ``cc = None`` when ``not config.parity_mode``.
     """
     l, p = lm_mx.shape
     m = z.shape[0]
@@ -590,6 +635,14 @@ def fused_update_planes(
                          "pointless with _skip_ekf)")
     if m % unroll:
         unroll = 1  # unroll must divide the measurement capacity
+    # production keeps cc == cb (symmetrized EKF), so the cc plane is
+    # dropped from the stream and the kernel carry (shadow still carries 6)
+    sym = not config.parity_mode and not assoc_shadow
+    n_planes = 5 if sym else 6
+    if not sym and lm_cc is None:
+        lm_cc = lm_cb  # shadow on a symmetric state: cc content == cb
+    if config.parity_mode and lm_cc is lm_cb:
+        raise ValueError("parity mode needs a real (asymmetric) lm_cc plane")
     kernel = functools.partial(
         _fused_update_kernel,
         num_measurements=m,
@@ -599,6 +652,7 @@ def fused_update_planes(
         parity=bool(config.parity_mode),
         assoc_bf16=assoc_bf16,
         assoc_shadow=assoc_shadow,
+        sym=sym,
         unroll=unroll,
         _skip_ekf=_skip_ekf,
     )
@@ -606,14 +660,14 @@ def fused_update_planes(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[rowspec] * 6 + [plane] * 6 + [rowspec],
-        out_specs=[rowspec] + [plane] * 6 + [rowspec],
+        in_specs=[rowspec] * 6 + [plane] * n_planes + [rowspec],
+        out_specs=[rowspec] + [plane] * n_planes + [rowspec],
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((1, p), dt),           # logw
-        *([jax.ShapeDtypeStruct((l, p), dt)] * 6),  # mx my ca cb cc cd
-        jax.ShapeDtypeStruct((1, p), jnp.int32),    # cnt
+        jax.ShapeDtypeStruct((1, p), dt),                    # logw
+        *([jax.ShapeDtypeStruct((l, p), dt)] * n_planes),    # means + covs
+        jax.ShapeDtypeStruct((1, p), jnp.int32),             # cnt
     )
 
     # trig precomputed outside the kernel (Mosaic lowers no sin/cos/atan2):
@@ -641,10 +695,19 @@ def fused_update_planes(
         row(poses[:, 0]), row(poses[:, 1]), row(poses[:, 2]),
         row(jnp.cos(poses[:, 2])), row(jnp.sin(poses[:, 2])),
         row(log_weights),
-        lm_mx, lm_my, lm_ca, lm_cb, lm_cc, lm_cd,
+        lm_mx, lm_my, lm_ca, lm_cb,
+        *(() if sym else (lm_cc,)), lm_cd,
         row(lm_count),
     )
-    logw, mx, my, ca, cb, cc, cd, cnt = outs
+    if sym:
+        logw, mx, my, ca, cb, cd, cnt = outs
+        cc = None
+    else:
+        logw, mx, my, ca, cb, cc, cd, cnt = outs
+        if not config.parity_mode:
+            # production contract: no cc plane (cc == cb invariant; see
+            # PlanesState) — the shadow path's cc output is discarded too
+            cc = None
     return (logw.reshape(p), mx, my, ca, cb, cc, cd, cnt.reshape(p))
 
 
@@ -663,13 +726,16 @@ def _accumulate_proposal(
     acc:        (lam00 lam01 lam02 lam11 lam12 lam22, e0 e1 e2, logw_add)
                 as [1, T] rows — the pose information matrix / vector and
                 the evidence log-weight, accumulated across measurements.
-    planes:     (mx, my, ca, cb, cc, cd, detp) read-only [L, T] planes.
+    planes:     (mx, my, ca, cb, cd, detp) read-only [L, T] planes — the
+                production covariance is symmetric, so there is no cc plane
+                (cc == cb; see :func:`_apply_measurement` ``sym``).
     pred_rows:  (px, py, yaw, cyaw, syaw) [1, T] PREDICTED-pose rows.
     prior_rows: (p00, p01, p11, s_r2) [1, T] motion-prior covariance rows.
     z_scalars:  (dist_z, bearing_z, cos_b, sin_b, z_ok) SMEM scalars.
     """
     (lam00, lam01, lam02, lam11, lam12, lam22, e0a, e1a, e2a, logw_add) = acc
-    mx, my, ca, cb, cc, cd, detp = planes
+    mx, my, ca, cb, cd, detp = planes
+    cc = cb  # symmetric covariance — alias, no extra plane
     px, py, yaw, cyaw, syaw = pred_rows
     p00, p01, p11, s_r2 = prior_rows
     dist_z, bearing_z, cos_b, sin_b, z_ok = z_scalars
@@ -700,7 +766,7 @@ def _accumulate_proposal(
     mu_y = jnp.sum(my * oh, axis=0, keepdims=True)
     a = jnp.sum(ca * oh, axis=0, keepdims=True)
     b = jnp.sum(cb * oh, axis=0, keepdims=True)
-    c = jnp.sum(cc * oh, axis=0, keepdims=True)
+    c = b  # cc == cb: the c gather IS the b gather (one [L, T] pass saved)
     d = jnp.sum(cd * oh, axis=0, keepdims=True)
 
     dx = mu_x - px
@@ -856,11 +922,11 @@ def _fused_fs2_kernel(
     px_ref, py_ref, yaw_ref, cy_ref, sy_ref,   # [1, T] PREDICTED pose rows
     logw_in,                                    # [1, T]
     n0_ref, n1_ref, n2_ref,                     # [1, T] standard-normal draws
-    mx_in, my_in, ca_in, cb_in, cc_in, cd_in,   # [L, T]
+    mx_in, my_in, ca_in, cb_in, cd_in,          # [L, T] (no cc: cc == cb)
     cnt_in,                                     # [1, T] int32
     # outputs
     x_out, y_out, yaw_out, logw_out,
-    mx_out, my_out, ca_out, cb_out, cc_out, cd_out, cnt_out,
+    mx_out, my_out, ca_out, cb_out, cd_out, cnt_out,
     *,
     num_measurements: int,
     gate: float,
@@ -893,12 +959,11 @@ def _fused_fs2_kernel(
     my = my_in[:, :]
     ca = ca_in[:, :]
     cb = cb_in[:, :]
-    cc = cc_in[:, :]
     cd = cd_in[:, :]
     cnt = cnt_in[:, :]
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (l, t), 0)
-    detp = jnp.where(slot < cnt, ca * cd - cb * cc, -1.0)
+    detp = jnp.where(slot < cnt, ca * cd - cb * cb, -1.0)
 
     prior_rows, lam = _proposal_prior_rows(
         cyaw, syaw, prior_ref[0], prior_ref[1], prior_ref[2]
@@ -909,7 +974,7 @@ def _fused_fs2_kernel(
 
     def _accum_body(m, acc):
         return _accumulate_proposal(
-            acc, (mx, my, ca, cb, cc, cd, detp),
+            acc, (mx, my, ca, cb, cd, detp),
             (px, py, yaw, cyaw, syaw), prior_rows,
             (z_ref[m, 0], z_ref[m, 1], z_ref[m, 2], z_ref[m, 3],
              zvalid_ref[m, 0] > 0),
@@ -935,12 +1000,12 @@ def _fused_fs2_kernel(
              zvalid_ref[m, 0] > 0),
             slot=slot, gate=gate, meas_noise=meas_noise,
             default_cov=default_cov, parity=False, assoc_bf16=False,
-            skip_ekf=False, weight_update=False,
+            skip_ekf=False, weight_update=False, sym=True,
         )
 
-    mx, my, ca, cb, cc, cd, detp, cnt, logw = jax.lax.fori_loop(
+    mx, my, ca, cb, cd, detp, cnt, logw = jax.lax.fori_loop(
         0, mtrip, _measurement_body,
-        (mx, my, ca, cb, cc, cd, detp, cnt, logw),
+        (mx, my, ca, cb, cd, detp, cnt, logw),
     )
 
     x_out[:, :] = new_x
@@ -951,7 +1016,6 @@ def _fused_fs2_kernel(
     my_out[:, :] = my
     ca_out[:, :] = ca
     cb_out[:, :] = cb
-    cc_out[:, :] = cc
     cd_out[:, :] = cd
     cnt_out[:, :] = cnt
 
@@ -1016,13 +1080,13 @@ def fused_fs2_planes(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[rowspec] * 9 + [plane] * 6 + [rowspec],
-        out_specs=[rowspec] * 4 + [plane] * 6 + [rowspec],
+        in_specs=[rowspec] * 9 + [plane] * 5 + [rowspec],
+        out_specs=[rowspec] * 4 + [plane] * 5 + [rowspec],
     )
 
     out_shapes = (
         *([jax.ShapeDtypeStruct((1, p), dt)] * 4),  # x y yaw logw
-        *([jax.ShapeDtypeStruct((l, p), dt)] * 6),  # mx my ca cb cc cd
+        *([jax.ShapeDtypeStruct((l, p), dt)] * 5),  # mx my ca cb cd
         jax.ShapeDtypeStruct((1, p), jnp.int32),    # cnt
     )
 
@@ -1053,12 +1117,13 @@ def fused_fs2_planes(
         row(jnp.cos(pred_poses[:, 2])), row(jnp.sin(pred_poses[:, 2])),
         row(log_weights),
         row(noise[:, 0]), row(noise[:, 1]), row(noise[:, 2]),
-        lm_mx, lm_my, lm_ca, lm_cb, lm_cc, lm_cd,
+        lm_mx, lm_my, lm_ca, lm_cb, lm_cd,
         row(lm_count),
     )
     x, y, yaw, logw = (o.reshape(p) for o in outs[:4])
-    mx, my, ca, cb, cc, cd = outs[4:10]
-    cnt = outs[10].reshape(p)
+    mx, my, ca, cb, cd = outs[4:9]
+    cc = None  # symmetric production covariance — no cc plane (cc == cb)
+    cnt = outs[9].reshape(p)
     poses = jnp.stack([x, y, yaw], axis=-1)
     return poses, logw, mx, my, ca, cb, cc, cd, cnt
 
@@ -1072,17 +1137,13 @@ def _fused_multi_kernel(
     z_ref,        # [C*M, 4] SMEM: (distance, bearing, cos(bearing), sin(bearing))
     zvalid_ref,   # [C*M, 1] SMEM int32
     mlast_ref,    # [C] SMEM int32: per-tick last valid measurement index + 1
-    # inputs (VMEM tiles)
-    px_ref, py_ref, yaw_ref, cy_ref, sy_ref,     # [1, T] initial pose rows
-    logw_in,                                     # [1, T]
-    nrot_ref, ntrans_ref, cnr_ref, snr_ref,      # [Cp, T] per-tick motion rows
-    mx_in, my_in, ca_in, cb_in, cc_in, cd_in,    # [L, T]
-    cnt_in,                                      # [1, T] int32
-    # outputs
-    tx_out, ty_out, tyaw_out, tlogw_out,         # [Cp, T] per-tick trajectories
-    mx_out, my_out, ca_out, cb_out, cc_out, cd_out,  # [L, T] final planes
-    cnt_out,                                     # [1, T]
-    *,
+    # VMEM refs, packed (the cc plane is ABSENT when sym):
+    #   inputs:  px, py, yaw, cy, sy, logw [1, T] initial pose rows;
+    #            nrot, ntrans, cnr, snr [Cp, T] per-tick motion rows;
+    #            mx, my, ca, cb, [cc,] cd [L, T]; cnt [1, T] int32
+    #   outputs: tx, ty, tyaw, tlogw [Cp, T] per-tick trajectories;
+    #            mx, my, ca, cb, [cc,] cd final planes; cnt
+    *refs,
     num_ticks: int,
     num_measurements: int,
     gate: float,
@@ -1091,12 +1152,13 @@ def _fused_multi_kernel(
     parity: bool,
     assoc_bf16: bool = False,
     assoc_shadow: bool = False,
+    sym: bool = False,
     unroll: int = 1,
 ):
     """C full filter ticks (propagate + measurement loop) on one particle
     tile with the landmark planes resident in VMEM throughout.
 
-    The single-tick kernel streams the six [L, P] landmark planes from HBM
+    The single-tick kernel streams the five [L, P] landmark planes from HBM
     and back every tick (~300 MB at P=100k, L=64) — the step's dominant
     fixed cost.  Running C ticks per invocation amortizes that stream C-fold;
     the only per-tick HBM traffic is four [1, P] motion rows in and four
@@ -1118,6 +1180,18 @@ def _fused_multi_kernel(
     difference from the per-tick path is the resampling cadence (every C
     ticks instead of every tick when Neff dips).
     """
+    n_cov = 3 if sym else 4
+    n_in = 6 + 4 + 2 + n_cov + 1
+    (px_ref, py_ref, yaw_ref, cy_ref, sy_ref, logw_in) = refs[:6]
+    (nrot_ref, ntrans_ref, cnr_ref, snr_ref) = refs[6:10]
+    mx_in, my_in = refs[10:12]
+    cov_in = refs[12:12 + n_cov]
+    cnt_in = refs[12 + n_cov]
+    (tx_out, ty_out, tyaw_out, tlogw_out) = refs[n_in:n_in + 4]
+    mx_out, my_out = refs[n_in + 4:n_in + 6]
+    cov_out = refs[n_in + 6:n_in + 6 + n_cov]
+    cnt_out = refs[n_in + 6 + n_cov]
+
     l, t = mx_in.shape
     px = px_ref[:, :]
     py = py_ref[:, :]
@@ -1128,10 +1202,12 @@ def _fused_multi_kernel(
 
     mx = mx_in[:, :]
     my = my_in[:, :]
-    ca = ca_in[:, :]
-    cb = cb_in[:, :]
-    cc = cc_in[:, :]
-    cd = cd_in[:, :]
+    covs = tuple(r[:, :] for r in cov_in)
+    if sym:
+        ca, cb, cd = covs
+        cc = cb
+    else:
+        ca, cb, cc, cd = covs
     cnt = cnt_in[:, :]
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (l, t), 0)
@@ -1165,6 +1241,7 @@ def _fused_multi_kernel(
                 slot=slot, gate=gate, meas_noise=meas_noise,
                 default_cov=default_cov, parity=parity,
                 assoc_bf16=assoc_bf16, skip_ekf=False, shadow=assoc_shadow,
+                sym=sym,
             )
 
         mtrip = jnp.minimum(mlast_ref[k], num_measurements)
@@ -1184,7 +1261,7 @@ def _fused_multi_kernel(
             )
         else:
             mcarry = jax.lax.fori_loop(0, mtrip, _measurement_body, mcarry)
-        logw = mcarry[8]
+        logw = mcarry[7 if sym else 8]
 
         # ---- per-tick trajectory rows ----
         tx_out[pl.ds(k, 1), :] = px
@@ -1194,7 +1271,10 @@ def _fused_multi_kernel(
 
         return (px, py, yaw, cyaw, syaw) + tuple(mcarry)
 
-    mcarry0 = (mx, my, ca, cb, cc, cd, detp, cnt, logw)
+    if sym:
+        mcarry0 = (mx, my, ca, cb, cd, detp, cnt, logw)
+    else:
+        mcarry0 = (mx, my, ca, cb, cc, cd, detp, cnt, logw)
     if assoc_shadow:
         bf = jnp.bfloat16
         mcarry0 = mcarry0 + (mx.astype(bf), my.astype(bf), ca.astype(bf),
@@ -1203,14 +1283,17 @@ def _fused_multi_kernel(
         0, num_ticks, tick_body,
         (px, py, yaw, cyaw, syaw) + mcarry0,
     )
-    mx, my, ca, cb, cc, cd, detp, cnt = carry[5:13]
+    if sym:
+        mx, my, ca, cb, cd, detp, cnt = carry[5:12]
+        new_covs = (ca, cb, cd)
+    else:
+        mx, my, ca, cb, cc, cd, detp, cnt = carry[5:13]
+        new_covs = (ca, cb, cc, cd)
 
     mx_out[:, :] = mx
     my_out[:, :] = my
-    ca_out[:, :] = ca
-    cb_out[:, :] = cb
-    cc_out[:, :] = cc
-    cd_out[:, :] = cd
+    for ref, val in zip(cov_out, new_covs):
+        ref[:, :] = val
     cnt_out[:, :] = cnt
 
 
@@ -1275,6 +1358,13 @@ def fused_update_planes_multi(
         raise ValueError("assoc_shadow is a production-mode lever")
     if m % unroll:
         unroll = 1  # unroll must divide the measurement capacity
+    # production keeps cc == cb (symmetrized EKF) — stream five planes
+    sym = not config.parity_mode and not assoc_shadow
+    n_planes = 5 if sym else 6
+    if not sym and lm_cc is None:
+        lm_cc = lm_cb  # shadow on a symmetric state: cc content == cb
+    if config.parity_mode and lm_cc is lm_cb:
+        raise ValueError("parity mode needs a real (asymmetric) lm_cc plane")
     kernel = functools.partial(
         _fused_multi_kernel,
         num_ticks=c,
@@ -1285,20 +1375,22 @@ def fused_update_planes_multi(
         parity=bool(config.parity_mode),
         assoc_bf16=assoc_bf16,
         assoc_shadow=assoc_shadow,
+        sym=sym,
         unroll=unroll,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[rowspec] * 6 + [tickspec] * 4 + [plane] * 6 + [rowspec],
-        out_specs=[tickspec] * 4 + [plane] * 6 + [rowspec],
+        in_specs=[rowspec] * 6 + [tickspec] * 4 + [plane] * n_planes
+        + [rowspec],
+        out_specs=[tickspec] * 4 + [plane] * n_planes + [rowspec],
     )
 
     out_shapes = (
-        *([jax.ShapeDtypeStruct((cp, p), dt)] * 4),   # tx ty tyaw tlogw
-        *([jax.ShapeDtypeStruct((l, p), dt)] * 6),    # mx my ca cb cc cd
-        jax.ShapeDtypeStruct((1, p), jnp.int32),      # cnt
+        *([jax.ShapeDtypeStruct((cp, p), dt)] * 4),         # tx ty tyaw tlogw
+        *([jax.ShapeDtypeStruct((l, p), dt)] * n_planes),   # means + covs
+        jax.ShapeDtypeStruct((1, p), jnp.int32),            # cnt
     )
 
     zf = z.reshape(c * m, 2)
@@ -1330,11 +1422,18 @@ def fused_update_planes_multi(
         row(log_weights),
         pad_c(noisy_rot.astype(dt)), pad_c(noisy_trans.astype(dt)),
         pad_c(jnp.cos(noisy_rot).astype(dt)), pad_c(jnp.sin(noisy_rot).astype(dt)),
-        lm_mx, lm_my, lm_ca, lm_cb, lm_cc, lm_cd,
+        lm_mx, lm_my, lm_ca, lm_cb,
+        *(() if sym else (lm_cc,)), lm_cd,
         row(lm_count),
     )
     tx, ty, tyaw, tlogw = (o[:c] for o in outs[:4])
-    mx, my, ca, cb, cc, cd, cnt = outs[4:]
+    if sym:
+        mx, my, ca, cb, cd, cnt = outs[4:]
+        cc = None
+    else:
+        mx, my, ca, cb, cc, cd, cnt = outs[4:]
+        if not config.parity_mode:
+            cc = None  # production contract: no cc plane (cc == cb)
     return tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt.reshape(p)
 
 
@@ -1353,11 +1452,11 @@ def _fused_fs2_multi_kernel(
     px_ref, py_ref, yaw_ref, cy_ref, sy_ref,    # [1, T] initial pose rows
     logw_in,                                     # [1, T]
     n0_ref, n1_ref, n2_ref,                      # [Cp, T] per-tick noise rows
-    mx_in, my_in, ca_in, cb_in, cc_in, cd_in,    # [L, T]
+    mx_in, my_in, ca_in, cb_in, cd_in,           # [L, T] (no cc: cc == cb)
     cnt_in,                                      # [1, T] int32
     # outputs
     tx_out, ty_out, tyaw_out, tlogw_out,         # [Cp, T]
-    mx_out, my_out, ca_out, cb_out, cc_out, cd_out,
+    mx_out, my_out, ca_out, cb_out, cd_out,
     cnt_out,
     *,
     num_ticks: int,
@@ -1391,15 +1490,14 @@ def _fused_fs2_multi_kernel(
     my = my_in[:, :]
     ca = ca_in[:, :]
     cb = cb_in[:, :]
-    cc = cc_in[:, :]
     cd = cd_in[:, :]
     cnt = cnt_in[:, :]
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (l, t), 0)
-    detp = jnp.where(slot < cnt, ca * cd - cb * cc, -1.0)
+    detp = jnp.where(slot < cnt, ca * cd - cb * cb, -1.0)
 
     def tick_body(k, carry):
-        px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw = carry
+        px, py, yaw, cyaw, syaw, mx, my, ca, cb, cd, detp, cnt, logw = carry
 
         # ---- deterministic mean-motion prediction ----
         rot = motion_ref[k, 0]
@@ -1423,7 +1521,7 @@ def _fused_fs2_multi_kernel(
         def _accum_body(m, acc):
             zi = k * num_measurements + m
             return _accumulate_proposal(
-                acc, (mx, my, ca, cb, cc, cd, detp),
+                acc, (mx, my, ca, cb, cd, detp),
                 (px_p, py_p, yaw_p, cy_p, sy_p), prior_rows,
                 (z_ref[zi, 0], z_ref[zi, 1], z_ref[zi, 2], z_ref[zi, 3],
                  zvalid_ref[zi, 0] > 0),
@@ -1450,12 +1548,12 @@ def _fused_fs2_multi_kernel(
                  zvalid_ref[zi, 0] > 0),
                 slot=slot, gate=gate, meas_noise=meas_noise,
                 default_cov=default_cov, parity=False, assoc_bf16=False,
-                skip_ekf=False, weight_update=False,
+                skip_ekf=False, weight_update=False, sym=True,
             )
 
-        mx, my, ca, cb, cc, cd, detp, cnt, logw = jax.lax.fori_loop(
+        mx, my, ca, cb, cd, detp, cnt, logw = jax.lax.fori_loop(
             0, mtrip, _measurement_body,
-            (mx, my, ca, cb, cc, cd, detp, cnt, logw),
+            (mx, my, ca, cb, cd, detp, cnt, logw),
         )
 
         tx_out[pl.ds(k, 1), :] = px
@@ -1463,12 +1561,12 @@ def _fused_fs2_multi_kernel(
         tyaw_out[pl.ds(k, 1), :] = yaw
         tlogw_out[pl.ds(k, 1), :] = logw
 
-        return px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw
+        return px, py, yaw, cyaw, syaw, mx, my, ca, cb, cd, detp, cnt, logw
 
-    (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw) = (
+    (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cd, detp, cnt, logw) = (
         jax.lax.fori_loop(
             0, num_ticks, tick_body,
-            (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cc, cd, detp, cnt, logw),
+            (px, py, yaw, cyaw, syaw, mx, my, ca, cb, cd, detp, cnt, logw),
         )
     )
 
@@ -1476,7 +1574,6 @@ def _fused_fs2_multi_kernel(
     my_out[:, :] = my
     ca_out[:, :] = ca
     cb_out[:, :] = cb
-    cc_out[:, :] = cc
     cd_out[:, :] = cd
     cnt_out[:, :] = cnt
 
@@ -1544,7 +1641,7 @@ def fused_fs2_planes_multi(
 
     out_shapes = (
         *([jax.ShapeDtypeStruct((cp, p), dt)] * 4),   # tx ty tyaw tlogw
-        *([jax.ShapeDtypeStruct((l, p), dt)] * 6),
+        *([jax.ShapeDtypeStruct((l, p), dt)] * 5),    # mx my ca cb cd
         jax.ShapeDtypeStruct((1, p), jnp.int32),
     )
 
@@ -1573,8 +1670,8 @@ def fused_fs2_planes_multi(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
-        in_specs=[rowspec] * 6 + [tickspec] * 3 + [plane] * 6 + [rowspec],
-        out_specs=[tickspec] * 4 + [plane] * 6 + [rowspec],
+        in_specs=[rowspec] * 6 + [tickspec] * 3 + [plane] * 5 + [rowspec],
+        out_specs=[tickspec] * 4 + [plane] * 5 + [rowspec],
     )
 
     outs = pl.pallas_call(
@@ -1595,11 +1692,12 @@ def fused_fs2_planes_multi(
         row(jnp.cos(poses[:, 2])), row(jnp.sin(poses[:, 2])),
         row(log_weights),
         n0, n1, n2,
-        lm_mx, lm_my, lm_ca, lm_cb, lm_cc, lm_cd,
+        lm_mx, lm_my, lm_ca, lm_cb, lm_cd,
         row(lm_count),
     )
     tx, ty, tyaw, tlogw = (o[:c] for o in outs[:4])
-    mx, my, ca, cb, cc, cd, cnt = outs[4:]
+    mx, my, ca, cb, cd, cnt = outs[4:]
+    cc = None  # symmetric production covariance — no cc plane (cc == cb)
     return tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt.reshape(p)
 
 

@@ -98,6 +98,15 @@ class PlanesState(NamedTuple):
     The particle count is padded up to a multiple of the kernel lane tile at
     construction (:func:`planes_particle_count`); the padded entries are
     *real* particles (same init), so no masking is needed anywhere.
+
+    ``lm_cc`` is ``None`` on the PRODUCTION path (``parity_mode=False``): the
+    production EKF symmetrizes every covariance write and appends set
+    ``b = c = 0``, so ``cc == cb`` is invariant and the plane is dropped from
+    the state entirely — one less [L, P] plane streamed per kernel call,
+    gathered per resample, and checkpointed.  Parity mode keeps the
+    reference's asymmetric ``(I-KH)S`` covariance (fast_slam_2.py:146), so
+    there ``lm_cc`` is a real plane.  Consumers use
+    ``lm_cc if lm_cc is not None else lm_cb``.
     """
 
     poses: jax.Array        # [P, 3] float
@@ -106,7 +115,7 @@ class PlanesState(NamedTuple):
     lm_my: jax.Array        # [L, P] landmark mean y
     lm_ca: jax.Array        # [L, P] cov a (row-major 2x2: a b / c d)
     lm_cb: jax.Array        # [L, P]
-    lm_cc: jax.Array        # [L, P]
+    lm_cc: jax.Array | None  # [L, P] (None when symmetric: production mode)
     lm_cd: jax.Array        # [L, P]
     lm_count: jax.Array     # [P] int32
     rng: jax.Array          # PRNG key
@@ -129,11 +138,21 @@ def planes_particle_count(num_particles: int) -> int:
     return _round_up(num_particles, _lane_tile(num_particles))
 
 
-def to_planes(state: FilterState) -> PlanesState:
-    """[P, L, k] blocks -> [L, P] planes (pads P up to the lane tile)."""
+def to_planes(state: FilterState,
+              config: FastSLAMConfig | None = None) -> PlanesState:
+    """[P, L, k] blocks -> [L, P] planes (pads P up to the lane tile).
+
+    With a production ``config`` (``parity_mode=False``) the redundant
+    ``lm_cc`` plane is dropped (``None`` — see :class:`PlanesState`); the
+    block state's symmetrized covariance guarantees ``cov[..., 2] ==
+    cov[..., 1]``.  Without a config (or in parity mode) all six planes are
+    kept, which any step accepts (the production kernels simply ignore the
+    extra plane on input and return ``None`` for it).
+    """
     p = state.num_particles
     pp = planes_particle_count(p)
     padn = pp - p
+    sym = config is not None and not config.parity_mode
 
     def pad_p(x):
         return jnp.pad(x, [(0, padn)] + [(0, 0)] * (x.ndim - 1)) if padn else x
@@ -151,7 +170,7 @@ def to_planes(state: FilterState) -> PlanesState:
         lm_my=pad_p(state.lm_mean[:, :, 1]).T,
         lm_ca=pad_p(state.lm_cov[:, :, 0]).T,
         lm_cb=pad_p(state.lm_cov[:, :, 1]).T,
-        lm_cc=pad_p(state.lm_cov[:, :, 2]).T,
+        lm_cc=None if sym else pad_p(state.lm_cov[:, :, 2]).T,
         lm_cd=pad_p(state.lm_cov[:, :, 3]).T,
         lm_count=pad_p(state.lm_count),
         rng=state.rng,
@@ -161,13 +180,14 @@ def to_planes(state: FilterState) -> PlanesState:
 def from_planes(state: PlanesState, num_particles: int | None = None) -> FilterState:
     """[L, P] planes -> [P, L, k] blocks (slices back to ``num_particles``)."""
     p = num_particles or state.num_particles
+    cc = state.lm_cc if state.lm_cc is not None else state.lm_cb
     return FilterState(
         poses=state.poses[:p],
         log_weights=state.log_weights[:p],
         lm_mean=jnp.stack([state.lm_mx.T[:p], state.lm_my.T[:p]], axis=-1),
         lm_cov=jnp.stack(
             [state.lm_ca.T[:p], state.lm_cb.T[:p],
-             state.lm_cc.T[:p], state.lm_cd.T[:p]], axis=-1,
+             cc.T[:p], state.lm_cd.T[:p]], axis=-1,
         ),
         lm_count=state.lm_count[:p],
         rng=state.rng,
@@ -181,14 +201,17 @@ def init_planes_state(config: FastSLAMConfig, rng: jax.Array | int = 0) -> Plane
     p = planes_particle_count(config.num_particles)
     l = config.max_landmarks
     dt = jnp.dtype(config.dtype)
-    # six distinct buffers (a shared zeros array would alias, breaking
+    # distinct buffers (a shared zeros array would alias, breaking
     # donation: the same buffer cannot be donated six times)
     plane = lambda: jnp.zeros((l, p), dtype=dt)
     return PlanesState(
         poses=jnp.zeros((p, 3), dtype=dt),
         log_weights=jnp.full((p,), -jnp.log(p).astype(dt), dtype=dt),
         lm_mx=plane(), lm_my=plane(), lm_ca=plane(),
-        lm_cb=plane(), lm_cc=plane(), lm_cd=plane(),
+        lm_cb=plane(),
+        # production keeps cc == cb — no cc plane (see PlanesState)
+        lm_cc=plane() if config.parity_mode else None,
+        lm_cd=plane(),
         lm_count=jnp.zeros((p,), dtype=jnp.int32),
         rng=rng,
     )

@@ -36,6 +36,44 @@ import numpy as np
 from fastslam_tpu.drivers.base import BumperState, LaserScan, Pose
 
 
+class SimHAL:
+    """A duck-typed JdeRobot ``HAL`` over :class:`SimWorld` — the same four
+    calls the reference makes (``getLaserData``/``getPose3d``/
+    ``getBumperData``/``setV``/``setW``), for testing the bridge and for
+    recording JdeRobot-format traces (:mod:`fastslam_tpu.io.jderobot_trace`)
+    without the simulator.  A live HAL's world advances on wall-clock; here
+    the world steps when the ``setW`` actuation lands, keeping one sim tick
+    per control tick."""
+
+    class _Obj:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    def __init__(self, world):
+        self._world = world
+        self._v = 0.0
+
+    def getLaserData(self):
+        s = self._world.get_laser()
+        return self._Obj(values=s.values, minRange=s.min_range,
+                         maxRange=s.max_range, timeStamp=s.timestamp)
+
+    def getPose3d(self):
+        p = self._world.get_pose()
+        return self._Obj(x=p.x, y=p.y, yaw=p.yaw)
+
+    def getBumperData(self):
+        b = self._world.get_bumper()
+        return self._Obj(state=b.state, bumper=b.bumper)
+
+    def setV(self, v):
+        self._v = float(v)
+
+    def setW(self, w):
+        self._world.set_velocity(self._v, float(w))
+        self._world.step()
+
+
 class HALDriver:
     """Adapter from an injected JdeRobot ``HAL`` module to the Driver
     protocol."""

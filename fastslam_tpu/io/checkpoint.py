@@ -52,7 +52,10 @@ def save_checkpoint(path: str, state, *, iteration: int = 0,
     if isinstance(state, PlanesState):
         arrays["layout"] = np.asarray("planes")
         for f in _PLANE_FIELDS:
-            arrays[f] = np.asarray(getattr(state, f))
+            v = getattr(state, f)
+            if v is None:
+                continue  # production states carry no cc plane (cc == cb)
+            arrays[f] = np.asarray(v)
     else:
         arrays["lm_mean"] = np.asarray(state.lm_mean)
         arrays["lm_cov"] = np.asarray(state.lm_cov)
@@ -88,7 +91,8 @@ def load_checkpoint(path: str):
             log_weights=jnp.asarray(z["log_weights"]),
             lm_count=jnp.asarray(z["lm_count"]),
             rng=rng,
-            **{f: jnp.asarray(z[f]) for f in _PLANE_FIELDS},
+            **{f: (jnp.asarray(z[f]) if f in z.files else None)
+               for f in _PLANE_FIELDS},
         )
     else:
         state = FilterState(

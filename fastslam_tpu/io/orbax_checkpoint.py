@@ -40,7 +40,9 @@ def _to_payload(state, iteration: int, robot_pose) -> dict:
     The typed PRNG key becomes raw ``key_data`` (extended dtypes do not
     serialize); layout/type ride as plain metadata leaves.
     """
-    d = {f: getattr(state, f) for f in state._fields if f != "rng"}
+    # skip None fields (production planes states carry no cc plane)
+    d = {f: getattr(state, f) for f in state._fields
+         if f != "rng" and getattr(state, f) is not None}
     d["rng_key_data"] = jax.random.key_data(state.rng)
     # plain python ints: StandardCheckpointer rejects numpy scalar leaves
     d["format_version"] = int(_FORMAT_VERSION)
@@ -102,7 +104,7 @@ def load_sharded_checkpoint(path: str, template) -> Tuple[object, dict]:
     rng = jax.random.wrap_key_data(jnp.asarray(got["rng_key_data"]))
     cls = PlanesState if want_planes else FilterState
     state = cls(rng=rng, **{
-        f: got[f] for f in cls._fields if f != "rng"
+        f: got.get(f) for f in cls._fields if f != "rng"
     })
     meta = {
         "iteration": int(got["iteration"]),

@@ -82,7 +82,10 @@ def planes_state_sharding(mesh: Mesh, config: FastSLAMConfig) -> PlanesState:
         poses=s(pax, None),
         log_weights=s(pax),
         lm_mx=plane, lm_my=plane, lm_ca=plane,
-        lm_cb=plane, lm_cc=plane, lm_cd=plane,
+        lm_cb=plane,
+        # production planes states carry no cc plane (see PlanesState)
+        lm_cc=plane if config.parity_mode else None,
+        lm_cd=plane,
         lm_count=s(pax),
         rng=s(),
     )
@@ -90,6 +93,11 @@ def planes_state_sharding(mesh: Mesh, config: FastSLAMConfig) -> PlanesState:
 
 def shard_planes_state(state: PlanesState, mesh: Mesh,
                        config: FastSLAMConfig) -> PlanesState:
-    """Place an existing planes state onto the mesh."""
+    """Place an existing planes state onto the mesh.
+
+    A production config drops the redundant ``lm_cc`` plane if the state
+    still carries one (``cc == cb`` on that path — see PlanesState)."""
     sh = planes_state_sharding(mesh, config)
+    if sh.lm_cc is None and state.lm_cc is not None:
+        state = state._replace(lm_cc=None)
     return jax.tree.map(jax.device_put, state, sh)

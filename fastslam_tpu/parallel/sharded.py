@@ -168,27 +168,30 @@ def _constrained_planes_step(
         py = state.poses[:, 1] + trans_eff * jnp.sin(yaw_pred)
         pred = jnp.stack([px, py, yaw_pred], axis=-1)
 
-        def local_fs2(pred, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+        def local_fs2(pred, logw, mx, my, ca, cb, cd, count, rb, valid,
                       noise, s_t2, s_r2, fxy):
-            return fused_fs2_planes(
-                pred, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+            # no cc plane: the fs2 path is production-only (cc == cb)
+            out = fused_fs2_planes(
+                pred, logw, mx, my, ca, cb, None, cd, count, rb, valid,
                 noise, s_t2, s_r2, fxy, config,
                 interpret=config.pallas_interpret,
             )
+            poses, logw, mx, my, ca, cb, _cc, cd, cnt = out
+            return poses, logw, mx, my, ca, cb, cd, cnt
 
-        poses, logw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+        poses, logw, mx, my, ca, cb, cd, cnt = shard_map(
             local_fs2, mesh=mesh,
-            in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
+            in_specs=(P(pax, None), pspec) + (plane_spec,) * 5
                      + (pspec, P(), P(), P(pax, None), P(), P(), P()),
-            out_specs=(P(pax, None), pspec) + (plane_spec,) * 6 + (pspec,),
+            out_specs=(P(pax, None), pspec) + (plane_spec,) * 5 + (pspec,),
             check_vma=False,
         )(pred, state.log_weights, state.lm_mx, state.lm_my, state.lm_ca,
-          state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+          state.lm_cb, state.lm_cd, state.lm_count,
           measurements.range_bearing, measurements.valid, noise,
           s_t2, s_r2, fxy)
         state = pin(state._replace(
             poses=poses, log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca,
-            lm_cb=cb, lm_cc=cc, lm_cd=cd, lm_count=cnt, rng=rng,
+            lm_cb=cb, lm_cc=None, lm_cd=cd, lm_count=cnt, rng=rng,
         ))
     else:
         from fastslam_tpu.core.pallas_kernels import fused_update_planes
@@ -204,21 +207,38 @@ def _constrained_planes_step(
         )
         state = pin(state._replace(poses=poses, rng=rng))
 
-        def local(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid):
-            return fused_update_planes(
+        # parity carries the real (asymmetric) cc plane; production has none
+        sym = not config.parity_mode
+        n_pl = 5 if sym else 6
+        cc_in = () if sym else (state.lm_cc,)
+
+        def local(poses, logw, mx, my, ca, cb, *rest):
+            cc, cd, count, rb, valid = (
+                (None, *rest) if sym else rest
+            )
+            out = fused_update_planes(
                 poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, config,
                 interpret=config.pallas_interpret,
             )
+            logw, mx, my, ca, cb, cc, cd, cnt = out
+            if sym:
+                return logw, mx, my, ca, cb, cd, cnt
+            return out
 
-        logw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+        outs = shard_map(
             local, mesh=mesh,
-            in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
+            in_specs=(P(pax, None), pspec) + (plane_spec,) * n_pl
                      + (pspec, P(), P()),
-            out_specs=(pspec,) + (plane_spec,) * 6 + (pspec,),
+            out_specs=(pspec,) + (plane_spec,) * n_pl + (pspec,),
             check_vma=False,
         )(state.poses, state.log_weights, state.lm_mx, state.lm_my,
-          state.lm_ca, state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+          state.lm_ca, state.lm_cb, *cc_in, state.lm_cd, state.lm_count,
           measurements.range_bearing, measurements.valid)
+        if sym:
+            logw, mx, my, ca, cb, cd, cnt = outs
+            cc = None
+        else:
+            logw, mx, my, ca, cb, cc, cd, cnt = outs
         state = pin(state._replace(
             log_weights=logw, lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb,
             lm_cc=cc, lm_cd=cd, lm_count=cnt,
@@ -295,23 +315,26 @@ def _constrained_planes_chunked(
             rotations, translations, config
         )
 
-        def local_fs2(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+        def local_fs2(poses, logw, mx, my, ca, cb, cd, count, rb, valid,
                       noise, rot_eff, trans_eff, s_t2, s_r2, fxy):
-            return fused_fs2_planes_multi(
-                poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+            # production-only path: no cc plane (cc == cb)
+            out = fused_fs2_planes_multi(
+                poses, logw, mx, my, ca, cb, None, cd, count, rb, valid,
                 noise, rot_eff, trans_eff, s_t2, s_r2, fxy, config,
                 interpret=config.pallas_interpret,
             )
+            tx, ty, tyaw, tlogw, mx, my, ca, cb, _cc, cd, cnt = out
+            return tx, ty, tyaw, tlogw, mx, my, ca, cb, cd, cnt
 
-        tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+        tx, ty, tyaw, tlogw, mx, my, ca, cb, cd, cnt = shard_map(
             local_fs2, mesh=mesh,
-            in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
+            in_specs=(P(pax, None), pspec) + (plane_spec,) * 5
                      + (pspec, P(), P(), P(None, None, pax),
                         P(), P(), P(), P(), P()),
-            out_specs=(plane_spec,) * 4 + (plane_spec,) * 6 + (pspec,),
+            out_specs=(plane_spec,) * 4 + (plane_spec,) * 5 + (pspec,),
             check_vma=False,
         )(state.poses, state.log_weights, state.lm_mx, state.lm_my,
-          state.lm_ca, state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+          state.lm_ca, state.lm_cb, state.lm_cd, state.lm_count,
           measurements.range_bearing, measurements.valid, noise,
           rot_eff, trans_eff, s_t2, s_r2, fxy)
     else:
@@ -329,21 +352,24 @@ def _constrained_planes_chunked(
             rotating, 0.0, translations[:, None] + trans_noise
         )
 
-        def local(poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid,
+        def local(poses, logw, mx, my, ca, cb, cd, count, rb, valid,
                   nr, nt):
-            return fused_update_planes_multi(
-                poses, logw, mx, my, ca, cb, cc, cd, count, rb, valid, nr, nt,
-                config, interpret=config.pallas_interpret,
+            # production-only path: no cc plane (cc == cb)
+            out = fused_update_planes_multi(
+                poses, logw, mx, my, ca, cb, None, cd, count, rb, valid,
+                nr, nt, config, interpret=config.pallas_interpret,
             )
+            tx, ty, tyaw, tlogw, mx, my, ca, cb, _cc, cd, cnt = out
+            return tx, ty, tyaw, tlogw, mx, my, ca, cb, cd, cnt
 
-        tx, ty, tyaw, tlogw, mx, my, ca, cb, cc, cd, cnt = shard_map(
+        tx, ty, tyaw, tlogw, mx, my, ca, cb, cd, cnt = shard_map(
             local, mesh=mesh,
-            in_specs=(P(pax, None), pspec) + (plane_spec,) * 6
+            in_specs=(P(pax, None), pspec) + (plane_spec,) * 5
                      + (pspec, P(), P(), plane_spec, plane_spec),
-            out_specs=(plane_spec,) * 4 + (plane_spec,) * 6 + (pspec,),
+            out_specs=(plane_spec,) * 4 + (plane_spec,) * 5 + (pspec,),
             check_vma=False,
         )(state.poses, state.log_weights, state.lm_mx, state.lm_my,
-          state.lm_ca, state.lm_cb, state.lm_cc, state.lm_cd, state.lm_count,
+          state.lm_ca, state.lm_cb, state.lm_cd, state.lm_count,
           measurements.range_bearing, measurements.valid, noisy_rot,
           noisy_trans)
 
@@ -358,7 +384,7 @@ def _constrained_planes_chunked(
     state = pin(state._replace(
         poses=jnp.stack([tx[c - 1], ty[c - 1], tyaw[c - 1]], axis=-1),
         log_weights=log_w,
-        lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb, lm_cc=cc, lm_cd=cd,
+        lm_mx=mx, lm_my=my, lm_ca=ca, lm_cb=cb, lm_cc=None, lm_cd=cd,
         lm_count=cnt, rng=rng,
     ))
 

@@ -65,7 +65,7 @@ def make_log(seed, ticks, *, range_noise_std=0.005, starts=None):
 
 
 def run_mode(log, gt, overrides, *, odometry_noise=(0.0, 0.0),
-             chunked=False, cpu=False):
+             chunked=False):
     from fastslam_tpu.app.runner import replay_chunked, run_driver
     from fastslam_tpu.config import FastSLAMConfig
     from fastslam_tpu.drivers.replay import ReplayDriver
@@ -137,7 +137,7 @@ def section_base(args):
             log, gt,
             dict(num_particles=100, parity_mode=False, use_pallas=True,
                  pallas_interpret=args.cpu),
-            chunked=True, cpu=args.cpu,
+            chunked=True,
         ))
     return args.seeds, rows
 

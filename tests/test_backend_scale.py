@@ -125,6 +125,7 @@ def test_build_100k_landmarks_in_seconds():
     assert n_f > _GRID_THRESHOLD
 
 
+@pytest.mark.slow
 def test_optimize_100k_landmarks_on_mesh(mesh):
     n = 110_000
     noisy, obs, gt = survey_world(n, k=100, field=600.0, sigma_xy=0.08,

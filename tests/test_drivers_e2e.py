@@ -166,6 +166,7 @@ def test_runner_with_corner_tracking():
     assert m["ate_rmse_m"] < 0.15, m
 
 
+@pytest.mark.slow
 def test_replay_chunked_matches_per_tick_accuracy():
     """The offline chunked replay (C ticks per fused kernel, resampling at
     chunk boundaries) must hold the per-tick production path's accuracy on

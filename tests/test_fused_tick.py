@@ -57,6 +57,7 @@ def test_fused_tick_matches_split_motion_mode():
     assert r_fused._last_num_measurements == r_split._last_num_measurements
 
 
+@pytest.mark.slow
 def test_fused_tick_matches_split_icp_floors():
     """The full production stack (ICP warm-started proposal, adaptive floors,
     fastslam2 sampling) fused into one dispatch vs the split path.  The

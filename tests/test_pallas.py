@@ -242,7 +242,9 @@ def test_chunked_kernel_matches_sequential(c):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(my), np.asarray(w_my),
                                rtol=1e-4, atol=1e-4)
-    for got, want in ((ca, w_ca), (cb, w_cb), (cc, w_cc), (cd, w_cd)):
+    # production streams no cc plane (cc == cb invariant)
+    assert cc is None and w_cc is None
+    for got, want in ((ca, w_ca), (cb, w_cb), (cd, w_cd)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
 
@@ -294,6 +296,7 @@ def test_chunked_step_runs_and_estimates():
         )
 
 
+@pytest.mark.slow
 def test_unroll_is_bit_exact_and_shadow_tracks_f32():
     """The manual measurement-loop unroll must be a pure scheduling change
     (bit-exact), and bf16 shadow association must track the f32 path (same
@@ -316,7 +319,9 @@ def test_unroll_is_bit_exact_and_shadow_tracks_f32():
             )
         return st, est
 
-    base_st, base_est = run()
+    # explicit unroll=1 baseline: the kernels default to unroll=2, so a
+    # bare run() would compare unrolled against unrolled (vacuous)
+    base_st, base_est = run(unroll=1)
     for unroll in (2, 4):
         u_st, u_est = run(unroll=unroll)
         np.testing.assert_array_equal(np.asarray(u_st.lm_mx),
@@ -355,11 +360,14 @@ def test_chunked_unroll_and_shadow_flags():
             st, jnp.zeros(c), jnp.full(c, 0.4), msc, cfg, **kw
         )
 
-    base_st, base_est = run()
-    u_st, u_est = run(unroll=2)
-    np.testing.assert_array_equal(np.asarray(u_est), np.asarray(base_est))
-    np.testing.assert_array_equal(np.asarray(u_st.lm_mx),
-                                  np.asarray(base_st.lm_mx))
+    # explicit unroll=1 baseline (default is unroll=2 — see above)
+    base_st, base_est = run(unroll=1)
+    for unroll in (2, 4):
+        u_st, u_est = run(unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(u_est),
+                                      np.asarray(base_est))
+        np.testing.assert_array_equal(np.asarray(u_st.lm_mx),
+                                      np.asarray(base_st.lm_mx))
     s_st, s_est = run(assoc_shadow=True)
     np.testing.assert_allclose(np.asarray(s_est), np.asarray(base_est),
                                atol=1e-6)
