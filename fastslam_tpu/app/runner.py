@@ -581,6 +581,9 @@ def replay_chunked(
     config: FastSLAMConfig,
     chunk_size: int = 8,
     rng: int = 0,
+    *,
+    odometry_noise: tuple = (0.0, 0.0),
+    odometry_noise_seed: int = 123,
 ) -> RunHistory:
     """Offline batch replay through the multi-tick chunked planes engine.
 
@@ -596,6 +599,14 @@ def replay_chunked(
 
     Odometry pairing, the dead-reckoning warmup gate, and ground-truth frame
     alignment match :func:`run_driver` exactly.  Production mode only.
+
+    ``use_icp_proposal`` / ``adaptive_proposal_floors`` run fully batched
+    (round-3 change; they previously required the per-tick loop): the ICP
+    warm start uses the COMMAND odometry, never the filter estimate, so all
+    T-1 consecutive-scan matches run in one ``lax.map`` dispatch; the
+    adaptive-floor EMA is a host recurrence over the resulting residuals,
+    and the per-tick floor vectors feed the chunked fs2 kernel as [C] prior
+    rows.  Semantics match the online loop's fused tick to float tolerance.
     """
     import jax
 
@@ -606,16 +617,6 @@ def replay_chunked(
             "replay_chunked needs the planes engine in production mode "
             "(use_pallas=True, parity_mode=False)"
         )
-    if config.use_icp_proposal or config.adaptive_proposal_floors:
-        # the online loop refines each tick's odometry with an ICP match
-        # against the PREVIOUS estimate-dependent scan; batch replay has no
-        # per-tick host loop to run that in, so silently dropping it would
-        # degrade an ICP-configured run to raw command odometry
-        raise ValueError(
-            "replay_chunked replays raw command odometry; use_icp_proposal "
-            "and adaptive_proposal_floors need the per-tick loop (run_driver)"
-        )
-
     t_total = len(log)
     c = chunk_size
 
@@ -637,6 +638,7 @@ def replay_chunked(
     # ---- odometry exactly as the online loop pairs it ----
     rots = np.zeros(t_total, np.float32)
     trans = np.zeros(t_total, np.float32)
+    v_active = np.zeros(t_total, bool)
     prev_ts = None
     prev_cmd = (0.0, 0.0)
     for t in range(t_total):
@@ -645,10 +647,87 @@ def replay_chunked(
         ts = float(log.timestamps[t])
         dt = 0.0 if prev_ts is None else ts - prev_ts
         prev_ts = ts
+        v_active[t] = v != 0
         if v != 0:
             trans[t] = v * dt * config.velocity_fudge
         else:
             rots[t] = w * dt
+
+    # wheel-slip corruption of what the filter sees, identical semantics
+    # (and noise stream) to run_driver: one draw per ACTIVE component tick,
+    # applied before any ICP refinement so the scan match must recover it
+    if odometry_noise != (0.0, 0.0):
+        odo_rng = np.random.default_rng(odometry_noise_seed)
+        for t in range(t_total):
+            if rots[t] != 0.0:
+                rots[t] += odo_rng.normal(0.0, odometry_noise[0])
+            if trans[t] != 0.0:
+                trans[t] += odo_rng.normal(0.0, odometry_noise[1])
+
+    # ---- batched ICP odometry refinement + adaptive floors ----
+    # The online loop's ICP warm start uses the COMMAND odometry, not the
+    # filter estimate (Runner.icp_refine), so a recorded log can run every
+    # consecutive-scan match in ONE lax.map dispatch; the floors EMA is a
+    # cheap host recurrence over the resulting residuals — the adaptive
+    # stack needs no per-tick host loop after all.  Per-tick floor vectors
+    # then feed the chunked fs2 kernel ([C] prior rows per invocation).
+    floors_xy = floors_th = None
+    if config.use_icp_proposal:
+        from fastslam_tpu.proposal.icp import icp_point_to_line
+
+        def one_icp(inp):
+            prev_p, cur_p, prev_v, cur_v, rot, tr, va = inp
+            # warm start with the command odometry (Runner.icp_refine)
+            cr, sr = jnp.cos(-rot), jnp.sin(-rot)
+            r_pred = jnp.stack([jnp.stack([cr, -sr]), jnp.stack([sr, cr])])
+            pre = prev_p @ r_pred.T - jnp.stack([tr, jnp.float32(0.0)])
+            res = icp_point_to_line(pre, cur_p, prev_v, cur_v, config)
+            r_comp = res.rotation @ r_pred
+            t_comp = (res.rotation @ jnp.stack([-tr, jnp.float32(0.0)])
+                      + res.translation)
+            icp_tr = jnp.where(va, jnp.sqrt(jnp.sum(t_comp * t_comp)), 0.0)
+            icp_rot = jnp.where(va, 0.0,
+                                -jnp.arctan2(r_comp[1, 0], r_comp[0, 0]))
+            return icp_rot, icp_tr
+
+        pts_j = jnp.asarray(pts)
+        val_j = jnp.asarray(valid)
+        icp_rots, icp_trs = jax.jit(lambda xs: jax.lax.map(one_icp, xs))((
+            pts_j[:-1], pts_j[1:], val_j[:-1], val_j[1:],
+            jnp.asarray(rots[1:]), jnp.asarray(trans[1:]),
+            jnp.asarray(v_active[1:]),
+        ))
+        icp_rots = np.concatenate([[0.0], np.asarray(icp_rots)])
+        icp_trs = np.concatenate([[0.0], np.asarray(icp_trs)])
+
+        if config.adaptive_proposal_floors:
+            # EMA floor recurrence, exact mirror of the fused tick's update
+            # (each floor updates only on its active-component ticks, THEN
+            # the tick's step uses the updated value)
+            e = config.floor_residual_ema
+            lo, hi = config.proposal_floor_min, config.proposal_floor_max
+            fxy, fth = config.proposal_xy_floor, config.proposal_theta_floor
+            floors_xy = np.empty(t_total, np.float32)
+            floors_th = np.empty(t_total, np.float32)
+            for t in range(t_total):
+                if t > 0:
+                    if v_active[t]:
+                        fxy = float(np.clip(
+                            (1 - e) * fxy + e * abs(icp_trs[t] - trans[t]),
+                            lo, hi))
+                    else:
+                        fth = float(np.clip(
+                            (1 - e) * fth + e * abs(icp_rots[t] - rots[t]),
+                            lo, hi))
+                floors_xy[t] = fxy
+                floors_th[t] = fth
+
+        a = config.icp_blend
+        blend = np.arange(t_total) > 0  # tick 0 has no previous scan
+        rots = np.where(blend, (1 - a) * rots + a * icp_rots,
+                        rots).astype(np.float32)
+        trans = np.where(blend, (1 - a) * trans + a * icp_trs,
+                         trans).astype(np.float32)
 
     # ---- filter: scan over whole chunks, per-tick tail ----
     state = init_planes_state(config, rng)
@@ -658,41 +737,65 @@ def replay_chunked(
     mv = np.asarray(ms_all.valid)
 
     est = np.zeros((t_total, 3), np.float32)
+    adaptive = floors_xy is not None
     if n_chunks:
-        def chunk_body(s, inp):
-            r, tr, z, zv = inp
-            s, e = kernels.fastslam_steps_planes_chunked(
-                s, r, tr, Measurements(z, zv), config
-            )
-            return s, e
+        if adaptive:
+            # per-tick [C] floor rows feed the fs2 prior for each tick of
+            # the chunk (fs2_prior_scalars broadcasts [C] floors)
+            def chunk_body(s, inp):
+                r, tr, z, zv, fxy, fth = inp
+                s, e = kernels.fastslam_steps_planes_chunked(
+                    s, r, tr, Measurements(z, zv), config,
+                    proposal_floors=(fxy, fth),
+                )
+                return s, e
+        else:
+            def chunk_body(s, inp):
+                r, tr, z, zv = inp
+                s, e = kernels.fastslam_steps_planes_chunked(
+                    s, r, tr, Measurements(z, zv), config
+                )
+                return s, e
 
         run_chunks = jax.jit(
-            lambda s, r, tr, z, zv: jax.lax.scan(
-                chunk_body, s, (r, tr, z, zv)
-            ),
+            lambda s, *xs: jax.lax.scan(chunk_body, s, xs),
             donate_argnums=0,
         )
         m = c * n_chunks
-        state, est_c = run_chunks(
-            state,
+        xs = [
             jnp.asarray(rots[:m].reshape(n_chunks, c)),
             jnp.asarray(trans[:m].reshape(n_chunks, c)),
             jnp.asarray(rb[:m].reshape(n_chunks, c, *rb.shape[1:])),
             jnp.asarray(mv[:m].reshape(n_chunks, c, *mv.shape[1:])),
-        )
+        ]
+        if adaptive:
+            xs += [jnp.asarray(floors_xy[:m].reshape(n_chunks, c)),
+                   jnp.asarray(floors_th[:m].reshape(n_chunks, c))]
+        state, est_c = run_chunks(state, *xs)
         est[:m] = np.asarray(est_c).reshape(m, 3)
 
     if t_total % c:
-        tick_step = jax.jit(
-            lambda s, r, tr, z, zv: kernels.fastslam_step_planes(
-                s, r, tr, Measurements(z, zv), config
-            ),
-            donate_argnums=0,
-        )
+        if adaptive:
+            tick_step = jax.jit(
+                lambda s, r, tr, z, zv, fxy, fth: kernels.fastslam_step_planes(
+                    s, r, tr, Measurements(z, zv), config,
+                    proposal_floors=(fxy, fth),
+                ),
+                donate_argnums=0,
+            )
+        else:
+            tick_step = jax.jit(
+                lambda s, r, tr, z, zv: kernels.fastslam_step_planes(
+                    s, r, tr, Measurements(z, zv), config
+                ),
+                donate_argnums=0,
+            )
         for t in range(c * n_chunks, t_total):
+            extra = ((jnp.float32(floors_xy[t]), jnp.float32(floors_th[t]))
+                     if adaptive else ())
             state, e = tick_step(
                 state, jnp.float32(rots[t]), jnp.float32(trans[t]),
-                jnp.asarray(rb[t]), jnp.asarray(mv[t]),
+                jnp.asarray(rb[t]), jnp.asarray(mv[t]), *extra,
             )
             est[t] = np.asarray(e)
 

@@ -73,7 +73,8 @@ def run_mode(log, gt, overrides, *, odometry_noise=(0.0, 0.0),
 
     cfg = FastSLAMConfig(max_landmarks=64, warmup_iterations=150, **overrides)
     if chunked:
-        hist = replay_chunked(log, cfg, chunk_size=8, rng=0)
+        hist = replay_chunked(log, cfg, chunk_size=8, rng=0,
+                              odometry_noise=odometry_noise)
     else:
         hist = run_driver(ReplayDriver(log), cfg, rng=0,
                           odometry_noise=odometry_noise)
@@ -218,6 +219,8 @@ def section_scale(args):
                 log, gt, dict(num_particles=10_000, parity_mode=False)))
         return seeds, rows
 
+    adaptive = dict(proposal_mode="fastslam2", use_icp_proposal=True,
+                    icp_blend=0.0, adaptive_proposal_floors=True)
     modes = {
         "production (N=10k, TPU planes)": dict(
             num_particles=10_000, parity_mode=False, use_pallas=True),
@@ -232,15 +235,82 @@ def section_scale(args):
         "production+fs2 chunked C=8 (N=100k, TPU)": dict(
             num_particles=100_000, parity_mode=False, use_pallas=True,
             proposal_mode="fastslam2"),
+        # the accuracy-flagship stack at north-star scale: fs2 proposal +
+        # batched ICP + adaptive floors on the chunked engine
+        "production+fs2+adaptive chunked C=8 (N=10k, TPU)": dict(
+            num_particles=10_000, parity_mode=False, use_pallas=True,
+            **adaptive),
+        "production+fs2+adaptive chunked C=8 (N=100k, TPU)": dict(
+            num_particles=100_000, parity_mode=False, use_pallas=True,
+            **adaptive),
     }
-    rows = {**{k: [] for k in modes}, **{k: [] for k in chunked_modes}}
+    # wheel-slip rows at scale: the fs2+adaptive stack must BEAT motion-only
+    # when the odometry lies (ICP blended in; floors open to the slip scale)
+    slip_modes = {
+        "production chunked C=8 (N=100k, TPU, wheel slip)": dict(
+            num_particles=100_000, parity_mode=False, use_pallas=True),
+        "production+fs2+adaptive chunked C=8 (N=100k, TPU, wheel slip)":
+            dict(num_particles=100_000, parity_mode=False, use_pallas=True,
+                 proposal_mode="fastslam2", use_icp_proposal=True,
+                 icp_blend=0.5, adaptive_proposal_floors=True),
+    }
+    oracle_name = (f"reference equations (NumPy oracle, "
+                   f"N={args.oracle_particles})")
+    slip_oracle_name = (f"reference equations (NumPy oracle, "
+                        f"N={args.oracle_particles}, wheel slip)")
+    rows = {oracle_name: [], **{k: [] for k in modes},
+            **{k: [] for k in chunked_modes},
+            slip_oracle_name: [], **{k: [] for k in slip_modes}}
     for seed in seeds:
         log, gt = make_log(seed, args.ticks)
+        # explicit in-table oracle bound (same N=50 bound as the clean table)
+        rows[oracle_name].append(
+            run_oracle_row(log, gt, args.oracle_particles))
         for name, ov in modes.items():
             rows[name].append(run_mode(log, gt, ov))
         for name, ov in chunked_modes.items():
             rows[name].append(run_mode(log, gt, ov, chunked=True))
+        rows[slip_oracle_name].append(
+            run_oracle_row(log, gt, args.oracle_particles,
+                           odometry_noise=SLIP))
+        for name, ov in slip_modes.items():
+            rows[name].append(run_mode(log, gt, ov, chunked=True,
+                                       odometry_noise=SLIP))
     return seeds, rows
+
+
+def section_jderobot(args):
+    """The engine consuming the reference's NATIVE data format end-to-end:
+    the canned JdeRobot HAL trace (data/jderobot/, recorded through the
+    duck-typed HAL surface per robot.py:32-58) replayed at N=1k per-tick
+    and — without --cpu — N=100k on the TPU chunked engine, each bounded by
+    the oracle on the same trace."""
+    from fastslam_tpu.io.jderobot_trace import load_hal_trace
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "jderobot",
+                        "corridor_seed3_300.jsonl")
+    log = load_hal_trace(path)
+    p0 = log.gt_poses[0]
+    c0, s0 = np.cos(-p0[2]), np.sin(-p0[2])
+    d = log.gt_poses - p0
+    gt = np.stack([c0 * d[:, 0] - s0 * d[:, 1],
+                   s0 * d[:, 0] + c0 * d[:, 1], d[:, 2]], axis=-1)
+
+    oracle_name = (f"reference equations (NumPy oracle, "
+                   f"N={args.oracle_particles}, JdeRobot trace)")
+    rows = {
+        oracle_name: [run_oracle_row(log, gt, args.oracle_particles)],
+        "production (N=1k, JdeRobot trace)": [run_mode(
+            log, gt, dict(num_particles=1000, parity_mode=False))],
+    }
+    if not args.cpu:
+        rows["production chunked C=8 (N=100k, TPU, JdeRobot trace)"] = [
+            run_mode(log, gt,
+                     dict(num_particles=100_000, parity_mode=False,
+                          use_pallas=True),
+                     chunked=True)
+        ]
+    return ["trace seed 3"], rows
 
 
 SECTIONS = {
@@ -248,6 +318,7 @@ SECTIONS = {
     "slip": section_slip,
     "noise": section_noise,
     "scale": section_scale,
+    "jderobot": section_jderobot,
 }
 
 SECTION_TITLES = {
@@ -257,6 +328,8 @@ SECTION_TITLES = {
     "noise": "Sensor noise (laser range noise above the 0.005 base)",
     "scale": "North-star scale (N=10k / N=100k on the TPU engines)",
     "scale_cpu": "North-star scale (CPU sanity)",
+    "jderobot": "JdeRobot native-format trace (data/jderobot/)",
+    "jderobot_cpu": "JdeRobot native-format trace (CPU, N=1k)",
 }
 
 NOTES = """
@@ -289,7 +362,8 @@ times — showing the ATE bound holds at north-star particle counts.
 
 
 def render(out):
-    order = ["base", "slip", "noise", "scale", "scale_cpu"]
+    order = ["base", "slip", "noise", "scale", "scale_cpu",
+             "jderobot", "jderobot_cpu"]
     present = {}
     for name in order:
         path = os.path.join(RESULTS_DIR, f"{name}.json")
@@ -328,7 +402,7 @@ def main():
     ap.add_argument("--out", default="EVAL.md")
     ap.add_argument("--ticks", type=int, default=300)
     ap.add_argument("--seeds", type=int, nargs="+", default=[3, 7, 21])
-    ap.add_argument("--scale-seeds", type=int, default=2,
+    ap.add_argument("--scale-seeds", type=int, default=3,
                     help="how many of --seeds the scale section uses")
     ap.add_argument("--oracle-particles", type=int, default=50)
     ap.add_argument("--sections", default=None,
@@ -350,8 +424,8 @@ def main():
         for section in wanted:
             seeds, rows = SECTIONS[section](args)
             stored = section
-            if section == "scale" and args.cpu:
-                stored = "scale_cpu"
+            if section in ("scale", "jderobot") and args.cpu:
+                stored = section + "_cpu"
             save(stored, seeds, rows)
             summary[stored] = {k: round(float(np.mean(v)), 4)
                                for k, v in rows.items()}

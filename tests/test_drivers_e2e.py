@@ -224,8 +224,26 @@ def test_replay_chunked_fs2_tracks():
     assert np.isfinite(est).all()
     assert h.metrics(skip=150)["ate_rmse_m"] < 0.25
 
-    # ICP refinement needs the per-tick loop — chunked replay must refuse
-    import pytest
 
-    with pytest.raises(ValueError, match="per-tick loop"):
-        replay_chunked(log, cfg.replace(use_icp_proposal=True), chunk_size=4)
+def test_replay_chunked_runs_the_adaptive_stack():
+    """fs2 + batched-ICP + adaptive floors on the CHUNKED engine (round-3:
+    the ICP warm start is command-odometry-only, so all matches batch into
+    one dispatch and per-tick floor vectors feed the fs2 prior as [C] rows).
+    Must track the drive at the per-tick adaptive path's accuracy class."""
+    from fastslam_tpu.app.runner import replay_chunked
+    from fastslam_tpu.drivers.replay import record_log
+    from fastslam_tpu.drivers.sim_world import SimWorld
+
+    log = record_log(SimWorld(seed=3), num_ticks=230)
+    cfg = FastSLAMConfig(
+        num_particles=128, max_landmarks=32, warmup_iterations=150,
+        parity_mode=False, proposal_mode="fastslam2",
+        use_icp_proposal=True, icp_blend=0.0, adaptive_proposal_floors=True,
+        use_pallas=True, pallas_interpret=True,
+    )
+    h = replay_chunked(log, cfg, chunk_size=8, rng=0)
+    est = np.asarray(h.est_poses)
+    assert np.isfinite(est).all()
+    # clean sim: residual-only floors anneal below the defaults, so the
+    # adaptive run must BEAT the fixed-floor fs2 run above
+    assert h.metrics(skip=150)["ate_rmse_m"] < 0.15
