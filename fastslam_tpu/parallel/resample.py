@@ -33,9 +33,20 @@ from fastslam_tpu.config import FastSLAMConfig
 from fastslam_tpu.core.state import FilterState
 
 
-def _resample_body(poses, logw, lm_mean, lm_cov, lm_count, u0,
-                   *, axis: str, num_shards: int, parity: bool):
-    p_local = poses.shape[0]
+def shard_ancestor_window(logw, u0, *, axis: str, num_shards: int):
+    """The ancestor-window math shared by the ppermute halo resampler and
+    the Pallas ring resampler (``parallel.ring_resample``): all-gather the
+    weights (4 B/particle), compute this shard's GLOBAL systematic ancestor
+    indices, and decide — with a psum so every shard agrees — whether every
+    shard's window fits in [own block ± one neighbor block].
+
+    Returns ``(idx, safe_local, use_halo)``:
+      idx        [P_local] global ancestor indices (for the fallback gather)
+      safe_local [P_local] indices into the ``[3*P_local]`` halo window
+                 (left | own | right), clipped
+      use_halo   scalar bool, identical on every shard
+    """
+    p_local = logw.shape[0]
     p_global = p_local * num_shards
     shard = jax.lax.axis_index(axis)
     my_start = shard * p_local
@@ -43,10 +54,61 @@ def _resample_body(poses, logw, lm_mean, lm_cov, lm_count, u0,
     w_local = jnp.exp(logw)
     w_all = jax.lax.all_gather(w_local, axis, tiled=True)       # [P]
     cum = jnp.cumsum(w_all)
-    positions = u0 + (my_start + jnp.arange(p_local, dtype=cum.dtype)) / p_global
+    positions = (u0 + (my_start + jnp.arange(p_local, dtype=cum.dtype))
+                 / p_global)
     idx = jnp.clip(
         jnp.searchsorted(cum, positions, side="left"), 0, p_global - 1
     )                                                            # global [P_local]
+
+    local_idx = idx - (my_start - p_local)
+    # Ring wrap-around is safe at the edges: global idx is always in
+    # [0, P), so shard 0 can never index into its (wrapped) left halo and
+    # the last shard can never index into its (wrapped) right halo.
+    my_in_window = jnp.all((local_idx >= 0) & (local_idx < 3 * p_local))
+    # the fallback branch contains a collective (all_gather), so EVERY
+    # shard must take the same branch — make the predicate global
+    use_halo = jax.lax.psum((~my_in_window).astype(jnp.int32), axis) == 0
+    safe_local = jnp.clip(local_idx, 0, 3 * p_local - 1)
+    return idx, safe_local, use_halo
+
+
+def pack_particle_block(poses, logw, lm_mean, lm_cov, lm_count):
+    """State columns -> one ``[P_local, D]`` f32 block
+    (poses | logw | lm_mean | lm_cov | lm_count), D = 3 + 1 + 2L + 4L + 1.
+    ``lm_count <= L`` is exactly representable in f32.  Shared with the
+    Pallas ring resampler, whose RDMA moves one contiguous block."""
+    p = poses.shape[0]
+    return jnp.concatenate([
+        poses,
+        logw[:, None],
+        lm_mean.reshape(p, -1),
+        lm_cov.reshape(p, -1),
+        lm_count.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
+def unpack_particle_block(block, l):
+    """Inverse of :func:`pack_particle_block`.  (The pre-refactor ring
+    resampler unpacked lm_cov as [P, L, 2, 2] instead of the state's
+    [P, L, 4] — caught by the shared 8-shard test the moment this math was
+    unified.)"""
+    p = block.shape[0]
+    poses = block[:, :3]
+    logw = block[:, 3]
+    lm_mean = block[:, 4: 4 + 2 * l].reshape(p, l, 2)
+    lm_cov = block[:, 4 + 2 * l: 4 + 6 * l].reshape(p, l, 4)
+    lm_count = block[:, 4 + 6 * l].astype(jnp.int32)
+    return poses, logw, lm_mean, lm_cov, lm_count
+
+
+def _resample_body(poses, logw, lm_mean, lm_cov, lm_count, u0,
+                   *, axis: str, num_shards: int, parity: bool):
+    p_local = poses.shape[0]
+    p_global = p_local * num_shards
+
+    idx, safe_local, use_halo = shard_ancestor_window(
+        logw, u0, axis=axis, num_shards=num_shards
+    )
 
     block = (poses, logw, lm_mean, lm_cov, lm_count)
 
@@ -68,19 +130,6 @@ def _resample_body(poses, logw, lm_mean, lm_cov, lm_count, u0,
     window = jax.tree.map(
         lambda a, b, c: jnp.concatenate([a, b, c], axis=0), left, block, right
     )                                                            # [3*P_local, ...]
-
-    local_idx = idx - (my_start - p_local)
-    # Ring wrap-around is safe at the edges: global idx is always in
-    # [0, P), so shard 0 can never index into its (wrapped) left halo and the
-    # last shard can never index into its (wrapped) right halo.
-    my_in_window = jnp.all((local_idx >= 0) & (local_idx < 3 * p_local))
-    # the branch below contains a collective (all_gather fallback), so EVERY
-    # shard must take the same branch — make the predicate global
-    use_halo = jax.lax.psum(
-        (~my_in_window).astype(jnp.int32), axis
-    ) == 0
-
-    safe_local = jnp.clip(local_idx, 0, 3 * p_local - 1)
 
     def from_halo(_):
         return jax.tree.map(lambda x: jnp.take(x, safe_local, axis=0), window)

@@ -22,13 +22,19 @@ This module is that kernel, plus a drop-in resampler built on it:
 
 STATUS: compiled + executed on the single available chip (a 1-shard ring:
 both neighbors are self, the exchange degenerates to two local copies, and
-the result is validated against the single-device resampler).  TRUE
-multi-chip validation — concurrency of the two RDMA directions, barrier
-correctness across >1 devices — REQUIRES real multi-chip hardware and is
+the result is validated against the single-device resampler).  The
+ancestor-window and pack/unpack math is SHARED with
+``resample.halo_systematic_resample`` (imported, not duplicated) and the
+whole resampler minus the RDMA kernel runs at 8 shards on the virtual CPU
+mesh by substituting a ppermute exchange with the identical contract
+(``tests/test_distributed_resample.py::test_ring_resampler_math_at_8_shards``
+— which immediately caught a pre-refactor lm_cov unpack shape bug).  The
+ONLY code untested off-hardware is the ``make_async_remote_copy`` exchange
+kernel itself: concurrency of the two RDMA directions and barrier
+correctness across >1 devices REQUIRE real multi-chip hardware and remain
 explicitly deferred; this environment exposes one chip behind a tunnel.
-The CPU backend cannot lower remote DMAs at all, so the production default
-remains ``resample.halo_systematic_resample`` (config.distributed_resample)
-until a pod validates this path.
+The production default remains ``resample.halo_systematic_resample``
+(config.distributed_resample) until a pod validates this path.
 
 Reference: greenfield (the reference resamples serially on one host,
 fast_slam_2.py:177-199); ring pattern per the Pallas TPU guide.
@@ -121,55 +127,44 @@ def ring_halo_exchange(block: jax.Array, *, axis: str, num_shards: int):
     )(block)
 
 
-def _pack(poses, logw, lm_mean, lm_cov, lm_count):
-    """[P_local, D] f32 with D = 3 + 1 + 2L + 4L + 1.  lm_count <= L is
-    exactly representable in f32."""
-    p = poses.shape[0]
-    return jnp.concatenate([
-        poses,
-        logw[:, None],
-        lm_mean.reshape(p, -1),
-        lm_cov.reshape(p, -1),
-        lm_count.astype(jnp.float32)[:, None],
-    ], axis=1)
-
-
-def _unpack(block, l):
-    p = block.shape[0]
-    poses = block[:, :3]
-    logw = block[:, 3]
-    lm_mean = block[:, 4: 4 + 2 * l].reshape(p, l, 2)
-    lm_cov = block[:, 4 + 2 * l: 4 + 6 * l].reshape(p, l, 2, 2)
-    lm_count = block[:, 4 + 6 * l].astype(jnp.int32)
-    return poses, logw, lm_mean, lm_cov, lm_count
+def _ppermute_exchange(block, *, axis: str, num_shards: int):
+    """XLA substitute for :func:`ring_halo_exchange` with the identical
+    (left_block, right_block) contract — used to test the ENTIRE ring
+    resampler (pack/window order/ancestor math/fallback) on the virtual
+    CPU mesh, where Mosaic cannot lower remote DMAs.  After this
+    substitution the only hardware-only code left is the
+    ``make_async_remote_copy`` exchange kernel itself."""
+    left = jax.lax.ppermute(
+        block, axis, [((i - 1) % num_shards, i) for i in range(num_shards)]
+    )
+    right = jax.lax.ppermute(
+        block, axis, [((i + 1) % num_shards, i) for i in range(num_shards)]
+    )
+    return left, right
 
 
 def _ring_body(poses, logw, lm_mean, lm_cov, lm_count, u0,
-               *, axis: str, num_shards: int, parity: bool):
-    """Same ancestor math + fallback as resample._resample_body, with the
-    two ppermutes replaced by the bi-directional Pallas exchange."""
+               *, axis: str, num_shards: int, parity: bool,
+               exchange=None):
+    """Same ancestor-window math as resample._resample_body — imported from
+    there, not duplicated — with the two ppermutes replaced by the
+    bi-directional Pallas exchange (or the injected ``exchange`` fn)."""
+    from fastslam_tpu.parallel.resample import (
+        pack_particle_block, shard_ancestor_window, unpack_particle_block,
+    )
+
     p_local = poses.shape[0]
     l = lm_mean.shape[1]
     p_global = p_local * num_shards
-    shard = jax.lax.axis_index(axis)
-    my_start = shard * p_local
 
-    w_local = jnp.exp(logw)
-    w_all = jax.lax.all_gather(w_local, axis, tiled=True)       # [P]
-    cum = jnp.cumsum(w_all)
-    positions = u0 + (my_start + jnp.arange(p_local, dtype=cum.dtype)) / p_global
-    idx = jnp.clip(
-        jnp.searchsorted(cum, positions, side="left"), 0, p_global - 1
+    idx, safe_local, use_halo = shard_ancestor_window(
+        logw, u0, axis=axis, num_shards=num_shards
     )
 
-    block = _pack(poses, logw, lm_mean, lm_cov, lm_count)
-    left, right = ring_halo_exchange(block, axis=axis, num_shards=num_shards)
+    block = pack_particle_block(poses, logw, lm_mean, lm_cov, lm_count)
+    exchange = exchange or ring_halo_exchange
+    left, right = exchange(block, axis=axis, num_shards=num_shards)
     window = jnp.concatenate([left, block, right], axis=0)      # [3*P_local, D]
-
-    local_idx = idx - (my_start - p_local)
-    my_in_window = jnp.all((local_idx >= 0) & (local_idx < 3 * p_local))
-    use_halo = jax.lax.psum((~my_in_window).astype(jnp.int32), axis) == 0
-    safe_local = jnp.clip(local_idx, 0, 3 * p_local - 1)
 
     def from_halo(_):
         return jnp.take(window, safe_local, axis=0)
@@ -179,24 +174,29 @@ def _ring_body(poses, logw, lm_mean, lm_cov, lm_count, u0,
         return jnp.take(full, idx, axis=0)
 
     new_block = jax.lax.cond(use_halo, from_halo, from_full, None)
-    new_poses, new_logw, new_mean, new_cov, new_count = _unpack(new_block, l)
+    new_poses, new_logw, new_mean, new_cov, new_count = unpack_particle_block(
+        new_block, l
+    )
     if not parity:
         new_logw = jnp.full((p_local,), -jnp.log(p_global), dtype=logw.dtype)
     return new_poses, new_logw, new_mean, new_cov, new_count
 
 
 def ring_halo_resample(
-    state: FilterState, u0: jax.Array, mesh: Mesh, config: FastSLAMConfig
+    state: FilterState, u0: jax.Array, mesh: Mesh, config: FastSLAMConfig,
+    *, _exchange=None,
 ) -> FilterState:
     """Drop-in for ``resample.halo_systematic_resample`` built on the Pallas
-    ring kernel.  PROTOTYPE — see module docstring for validation status."""
+    ring kernel.  PROTOTYPE — see module docstring for validation status.
+    ``_exchange`` (testing only) swaps the RDMA kernel for an XLA ppermute
+    exchange so the rest of the path runs on the virtual CPU mesh."""
     axis = config.particle_axis
     num_shards = mesh.shape[axis]
     pspec = P(axis)
 
     body = shard_map(
         partial(_ring_body, axis=axis, num_shards=num_shards,
-                parity=config.parity_mode),
+                parity=config.parity_mode, exchange=_exchange),
         mesh=mesh,
         in_specs=(P(axis, None), pspec, P(axis, None, None),
                   P(axis, None, None), pspec, P()),

@@ -1,0 +1,178 @@
+"""BASELINE config #5 demonstration: a >=1M-landmark pose graph built by the
+vectorized grid-hash builder and optimized with the distributed Schur
+backend on an 8-device mesh.
+
+Writes ``eval_results/backend_1m.json`` with build seconds, peak RSS,
+landmark/factor counts, dropped-factor count (must be 0), and the error
+trajectory.  Runs on the virtual 8-device CPU mesh (the backend is mesh-
+generic; on a pod the same code shards over real chips).
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+      python scripts/bench_backend_1m.py [--landmarks 1000000] [--iters 4]
+"""
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+RESULTS = os.path.join(os.path.dirname(__file__), "..", "eval_results")
+
+
+def survey_world_chunked(n_landmarks, k=256, field=2000.0, sigma_xy=0.05,
+                         sigma_th=0.001, seed=0, chunk=50_000):
+    """Serpentine survey like tests/test_backend_scale.survey_world, with the
+    landmark->nearest-keyframes search CHUNKED so the [n, k] distance matrix
+    never materializes (at n=1M, k=256 it would be 2 GB).
+    Returns (noisy poses [K,3], per-keyframe obs list, ground truth [K,3])."""
+    rng = np.random.default_rng(seed)
+    rows = int(np.sqrt(k))
+    cols = k // rows
+    gt = np.zeros((rows * cols, 3))
+    for r in range(rows):
+        cs = np.linspace(0.0, field, cols)
+        if r % 2:
+            cs = cs[::-1]
+        gt[r * cols: (r + 1) * cols, 0] = cs
+        gt[r * cols: (r + 1) * cols, 1] = r * field / max(rows - 1, 1)
+        gt[r * cols: (r + 1) * cols, 2] = 0.0 if r % 2 == 0 else np.pi
+    k = rows * cols
+
+    lms = rng.uniform(0.0, field, (n_landmarks, 2))
+    nearest2 = np.empty((n_landmarks, 2), np.int64)
+    for s in range(0, n_landmarks, chunk):
+        blk = lms[s: s + chunk]
+        d2 = ((blk[:, None, :] - gt[None, :, :2]) ** 2).sum(-1)
+        nearest2[s: s + chunk] = np.argpartition(d2, 2, axis=1)[:, :2]
+
+    kf_idx = nearest2.reshape(-1)
+    lm_idx = np.repeat(np.arange(n_landmarks), 2)
+    dx = lms[lm_idx, 0] - gt[kf_idx, 0]
+    dy = lms[lm_idx, 1] - gt[kf_idx, 1]
+    r = np.hypot(dx, dy) + rng.normal(0, 0.01, len(kf_idx))
+    b = np.arctan2(dy, dx) - gt[kf_idx, 2] + rng.normal(0, 1e-3, len(kf_idx))
+    b = (b + np.pi) % (2 * np.pi) - np.pi
+
+    order = np.argsort(kf_idx, kind="stable")
+    counts = np.bincount(kf_idx, minlength=k)
+    splits = np.cumsum(counts)[:-1]
+    obs = np.split(np.stack([r, b], -1)[order], splits)
+
+    noise = np.stack([
+        rng.normal(0, sigma_xy, k), rng.normal(0, sigma_xy, k),
+        rng.normal(0, sigma_th, k),
+    ], axis=-1).cumsum(axis=0)
+    noisy = gt + noise
+    noisy[0] = gt[0]
+    return noisy, obs, gt
+
+
+def run(n_landmarks=1_000_000, k=256, iters=4, n_devices=8,
+        lm_capacity=1 << 21, factor_capacity=1 << 23):
+    import jax
+    from jax.sharding import Mesh
+
+    from fastslam_tpu.backend.builder import build_pose_graph
+    from fastslam_tpu.backend.distributed import (
+        optimize_sharded, shard_pose_graph,
+    )
+    from fastslam_tpu.backend.pose_graph import total_error
+
+    devs = np.asarray(jax.devices()[:n_devices])
+    assert len(devs) == n_devices, (
+        f"need {n_devices} devices; start python with XLA_FLAGS="
+        f"--xla_force_host_platform_device_count={n_devices}"
+    )
+    mesh = Mesh(devs, ("map",))
+
+    t0 = time.monotonic()
+    # field AND keyframe count scale with sqrt(n)/n so landmark density,
+    # keyframe spacing, and observation ranges all match the proven 110k
+    # configuration (tests/test_backend_scale.py: field 600, k=100) — long
+    # ranges would let heading drift split clusters across grid cells
+    field = 600.0 * float(np.sqrt(n_landmarks / 110_000.0))
+    noisy, obs, gt = survey_world_chunked(n_landmarks, k=k, field=field,
+                                          sigma_xy=0.08, seed=1)
+    world_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    g = build_pose_graph(
+        noisy, obs, association_gate=0.5,
+        max_landmarks=lm_capacity, max_factors=factor_capacity,
+        obs_sigma_r=0.05, obs_sigma_b=0.01,
+        odo_sigma_xy=0.2, odo_sigma_theta=0.05,
+    )
+    build_s = time.monotonic() - t0
+    n_lm = int(np.asarray(g.lm_valid).sum())
+    n_f = int(np.asarray(g.obs_valid).sum())
+
+    g8, dropped = shard_pose_graph(g, n_devices)
+    err0 = float(total_error(g8.poses, g8.landmarks, g8))
+
+    t0 = time.monotonic()
+    poses, landmarks, err = optimize_sharded(g, mesh, num_iters=iters,
+                                             damping=1e-3)
+    jax.block_until_ready(poses)
+    opt_s = time.monotonic() - t0
+
+    before = np.linalg.norm(np.asarray(g.poses)[:, :2] - gt[:, :2],
+                            axis=1).mean()
+    after = np.linalg.norm(np.asarray(poses)[:, :2] - gt[:, :2],
+                           axis=1).mean()
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    return {
+        "n_landmarks_requested": n_landmarks,
+        "n_landmarks_built": n_lm,
+        "n_factors": n_f,
+        "lm_capacity": lm_capacity,
+        "factor_capacity": factor_capacity,
+        "dropped_factors": int(dropped),
+        "keyframes": int(np.asarray(g.poses).shape[0]),
+        "n_devices": n_devices,
+        "world_gen_seconds": round(world_s, 2),
+        "build_seconds": round(build_s, 2),
+        "optimize_seconds": round(opt_s, 2),
+        "optimize_iters": iters,
+        "total_error_before": err0,
+        "total_error_after": float(err),
+        "mean_keyframe_error_before_m": float(before),
+        "mean_keyframe_error_after_m": float(after),
+        "peak_rss_gb": round(peak_rss_gb, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--landmarks", type=int, default=1_100_000)
+    ap.add_argument("--keyframes", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--devices", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    out = run(args.landmarks, k=args.keyframes, iters=args.iters,
+              n_devices=args.devices)
+    os.makedirs(RESULTS, exist_ok=True)
+    path = os.path.join(RESULTS, "backend_1m.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    assert out["dropped_factors"] == 0, "factors dropped — raise capacity"
+    assert out["n_landmarks_built"] >= 1_000_000 or \
+        args.landmarks < 1_000_000
+    assert out["total_error_after"] < out["total_error_before"]
+
+
+if __name__ == "__main__":
+    main()

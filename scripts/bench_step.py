@@ -13,6 +13,15 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+
+def _enable_compilation_cache():
+    import jax, os
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax_fastslam"))
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=100_000)
@@ -63,6 +72,8 @@ def main():
         args.production = True
 
     import jax
+
+    _enable_compilation_cache()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
