@@ -229,12 +229,106 @@ def landmark_system(poses, landmarks, g: PoseGraph, damping: jax.Array):
     # the einsum over the landmark axis contracts each 2x2-inverted block on
     # the MXU.  Under shard_map with landmarks on the map axis, `cross` and
     # the rs correction become per-shard partials followed by a psum — see
-    # optimize_sharded.
+    # optimize_sharded.  NOTE: the dense [K, L] assembly is O(K*L) memory —
+    # fine for per-session smoothing (K~100, L~1k) but fatal at 1M landmarks
+    # with hundreds of keyframes; the large-scale path is
+    # :func:`landmark_system_sparse` (O(F) memory, exact same math).
     hpl_dense = jnp.zeros((k, l, 3, 2)).at[g.obs_kf, g.obs_lm].add(hpl_f)
     ghl_dense = jnp.einsum("klpa,lab->klpb", hpl_dense, hll_inv)  # [K, L, 3, 2]
     cross = jnp.einsum("klpb,mlqb->kmpq", ghl_dense, hpl_dense)   # [K, K, 3, 3]
     rs_corr = jnp.einsum("klpb,lb->kp", ghl_dense, bl)            # [K, 3]
     return hpp_diag, bp_obs, cross, rs_corr, hll_inv, bl, hpl_dense
+
+
+def landmark_system_sparse(poses, landmarks, g: PoseGraph, damping: jax.Array,
+                           pair_a: jax.Array, pair_b: jax.Array,
+                           pair_valid: jax.Array):
+    """Factor-sparse Schur reduction — identical math to
+    :func:`landmark_system` with the dense ``[K, L, 3, 2]`` assembly
+    replaced by per-factor scatters, so memory is O(F + K^2) instead of
+    O(K*L).  This is what makes 1M-landmark graphs optimizable: at K=1024,
+    L=2^21 the dense intermediates alone are >100 GB.
+
+    ``cross[k, m] = sum_l (sum_{f1 in l, kf=k} Hpl_f1) Hll_l^-1
+    (sum_{f2 in l, kf=m} Hpl_f2)^T`` expands into a sum over ORDERED pairs
+    of factors observing the same landmark; ``(pair_a, pair_b,
+    pair_valid)`` enumerate exactly those pairs (including f1 == f2), with
+    capacity padding masked out by ``pair_valid``.  Pair count is
+    sum_l c_l^2 ~ (obs/landmark) * F — see
+    ``distributed.build_schur_pairs``.
+
+    Returns ``(hpp_diag, bp_obs, cross, rs_corr, hll_inv, bl, hpl_f)``;
+    ``hpl_f [F, 3, 2]`` feeds :func:`backsubstitute_landmarks_sparse`.
+    """
+    k = poses.shape[0]
+    l = landmarks.shape[0]
+
+    r_obs, (odx, ody, q, rr) = _obs_residuals(poses, landmarks, g)
+    w_obs = jnp.where(g.obs_valid[:, None], g.obs_info, 0.0)      # [F, 2]
+
+    jl = jnp.stack([
+        jnp.stack([odx / rr, ody / rr], -1),
+        jnp.stack([-ody / q, odx / q], -1),
+    ], axis=1)                                                    # [F, 2, 2]
+    fzeros = jnp.zeros_like(rr)
+    jp = jnp.stack([
+        jnp.stack([-odx / rr, -ody / rr, fzeros], -1),
+        jnp.stack([ody / q, -odx / q, -jnp.ones_like(rr)], -1),
+    ], axis=1)                                                    # [F, 2, 3]
+
+    wjl = jl * w_obs[:, :, None]
+    wjp = jp * w_obs[:, :, None]
+
+    hpp_f = jnp.einsum("fip,fiq->fpq", jp, wjp)     # [F, 3, 3]
+    hll_f = jnp.einsum("fia,fib->fab", jl, wjl)     # [F, 2, 2]
+    hpl_f = jnp.einsum("fip,fia->fpa", wjp, jl)     # [F, 3, 2]
+    bp_f = jnp.einsum("fip,fi->fp", wjp, r_obs)     # [F, 3]
+    bl_f = jnp.einsum("fia,fi->fa", wjl, r_obs)     # [F, 2]
+
+    hpp_diag = jnp.zeros((k, 3, 3)).at[g.obs_kf].add(hpp_f)
+    bp_obs = jnp.zeros((k, 3)).at[g.obs_kf].add(bp_f)
+
+    hll = jnp.zeros((l, 2, 2)).at[g.obs_lm].add(hll_f)
+    bl = jnp.zeros((l, 2)).at[g.obs_lm].add(bl_f)
+    hll = hll + damping * jnp.eye(2)[None, :, :]
+
+    a = hll[:, 0, 0]
+    b = hll[:, 0, 1]
+    c2 = hll[:, 1, 0]
+    d = hll[:, 1, 1]
+    det = a * d - b * c2
+    observed = det > 1e-12
+    inv_det = jnp.where(observed, 1.0 / jnp.where(observed, det, 1.0), 0.0)
+    hll_inv = jnp.stack([
+        jnp.stack([d, -b], -1), jnp.stack([-c2, a], -1)
+    ], axis=1) * inv_det[:, None, None]
+
+    # per-factor Hpl Hll^-1 (hll_inv is per-landmark, multiplication is
+    # linear, so summing ghl_f per landmark == multiplying the summed Hpl)
+    ghl_f = jnp.einsum("fpa,fab->fpb", hpl_f, hll_inv[g.obs_lm])  # [F, 3, 2]
+
+    # cross via the ordered factor-pair list (scatter into [K, K, 3, 3])
+    pair_cross = jnp.einsum(
+        "fpb,fqb->fpq", ghl_f[pair_a], hpl_f[pair_b]
+    ) * pair_valid[:, None, None].astype(hpl_f.dtype)             # [Pp, 3, 3]
+    cross = jnp.zeros((k, k, 3, 3)).at[
+        g.obs_kf[pair_a], g.obs_kf[pair_b]
+    ].add(pair_cross)
+
+    # rs correction is per-factor (no pairs): sum_f onehot(kf) ghl_f bl[lm_f]
+    rs_corr = jnp.zeros((k, 3)).at[g.obs_kf].add(
+        jnp.einsum("fpb,fb->fp", ghl_f, bl[g.obs_lm])
+    )
+    return hpp_diag, bp_obs, cross, rs_corr, hll_inv, bl, hpl_f
+
+
+def backsubstitute_landmarks_sparse(dp, hll_inv, bl, hpl_f, g: PoseGraph):
+    """dl = Hll^-1 (bl - Hpl' dp) with the Hpl' dp contraction as a
+    per-factor segment sum — no dense [K, L] assembly."""
+    l = hll_inv.shape[0]
+    hplT_dp_f = jnp.einsum("fpb,fp->fb", hpl_f, dp[g.obs_kf])     # [F, 2]
+    hplT_dp = jnp.zeros((l, 2)).at[g.obs_lm].add(hplT_dp_f)
+    return jnp.einsum("lab,lb->la", hll_inv, bl - hplT_dp)
 
 
 def schur_normal_equations(poses, landmarks, g: PoseGraph, damping: jax.Array):

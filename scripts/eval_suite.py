@@ -417,6 +417,13 @@ def main():
 
         if args.cpu:
             jax.config.update("jax_platforms", "cpu")
+        else:
+            # TPU sections recompile many large configs — persist them
+            d = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax_fastslam"))
+            os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
         wanted = (args.sections.split(",") if args.sections
                   else ["base", "slip", "noise"])

@@ -53,14 +53,21 @@ def test_shard_pose_graph_preserves_factors():
         assert lm[i] // per_shard_l == i // per_shard_f
 
 
-def test_sharded_gn_step_matches_single_device(mesh):
+@pytest.mark.parametrize("sparse", [True, False])
+def test_sharded_gn_step_matches_single_device(mesh, sparse):
+    """Both the dense [K, L] Schur assembly and the factor-pair SPARSE
+    reduction (the 1M-landmark path) must reproduce the single-device
+    gauss_newton_step."""
+    from fastslam_tpu.backend.distributed import build_schur_pairs
+
     g, _ = make_graph()
     damp = jnp.float32(1e-4)
     p_want, l_want = gauss_newton_step(g.poses, g.landmarks, g, damp)
 
     g8, _ = shard_pose_graph(g, 8)
-    step = make_sharded_gn_step(mesh)
-    p_got, l_got = step(g8, damp)
+    step = make_sharded_gn_step(mesh, sparse=sparse)
+    extra = build_schur_pairs(g8, 8) if sparse else ()
+    p_got, l_got = step(g8, damp, *extra)
 
     np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_want),
                                rtol=1e-4, atol=1e-4)

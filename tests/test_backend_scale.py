@@ -151,3 +151,43 @@ def test_optimize_100k_landmarks_on_mesh(mesh):
                            axis=1).mean()
     assert np.isfinite(err) and err < err0
     assert after < 0.6 * before, f"{before:.4f} -> {after:.4f}"
+
+
+@pytest.mark.slow
+def test_build_and_optimize_1m_landmarks(mesh):
+    """BASELINE config #5 at full scale: >=1M landmarks built by the grid
+    hash and optimized by the SPARSE factor-pair Schur backend on the
+    8-device mesh (the dense [K, L] assembly OOMs here by design — see
+    pose_graph.landmark_system_sparse).  Evidence run with timings/memory:
+    scripts/bench_backend_1m.py -> eval_results/backend_1m.json."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from bench_backend_1m import survey_world_chunked
+
+    from fastslam_tpu.backend.distributed import optimize_sharded
+
+    n = 1_100_000
+    field = 600.0 * float(np.sqrt(n / 110_000.0))
+    noisy, obs, gt = survey_world_chunked(n, k=1024, field=field,
+                                          sigma_xy=0.08, seed=1)
+    t0 = time.monotonic()
+    g = build_pose_graph(
+        noisy, obs, association_gate=0.5,
+        max_landmarks=1 << 21, max_factors=1 << 23,
+        obs_sigma_r=0.05, obs_sigma_b=0.01,
+        odo_sigma_xy=0.2, odo_sigma_theta=0.05,
+    )
+    build_s = time.monotonic() - t0
+    n_lm = int(np.asarray(g.lm_valid).sum())
+    assert n_lm >= 1_000_000, n_lm
+    assert build_s < 120.0, f"1M build took {build_s:.0f}s"
+
+    g8, dropped = shard_pose_graph(g, 8)
+    assert dropped == 0
+    err0 = float(total_error(g8.poses, g8.landmarks, g8))
+    poses, landmarks, err = optimize_sharded(g, mesh, num_iters=2,
+                                             damping=1e-3)
+    assert np.isfinite(err) and err < err0
