@@ -43,6 +43,8 @@ class RunHistory:
     num_measurements: List[int] = field(default_factory=list)
     # final (xy, theta) adaptive proposal floors, when the run adapts them
     final_floors: tuple | None = None
+    # full per-tick floor trajectories (batched replay only) — observability
+    floor_traj: tuple | None = None
 
     def metrics(self, skip: int = 0) -> dict:
         return trajectory_metrics(
@@ -260,7 +262,9 @@ class SLAMRunner:
         step_fn = (kernels.fastslam_step_planes if self.uses_planes
                    else kernels.fastslam_step)
         if use_icp:
-            from fastslam_tpu.proposal.icp import icp_point_to_line
+            from fastslam_tpu.proposal.icp import (
+                icp_point_to_line, rotate_points,
+            )
         if track:
             from fastslam_tpu.frontend.pipeline import (
                 extract_corners, measurements_from_corners,
@@ -274,23 +278,23 @@ class SLAMRunner:
             rotation = jnp.float32(rotation)
             translation = jnp.float32(translation)
             if use_icp:
-                # warm start with the command odometry (see icp_refine)
-                c, s = jnp.cos(-rotation), jnp.sin(-rotation)
-                r_pred = jnp.stack(
-                    [jnp.stack([c, -s]), jnp.stack([s, c])]
-                )
-                pre = (prev_pts @ r_pred.T
+                # warm start with the command odometry (see icp_refine);
+                # rotations applied elementwise, composed by angle addition —
+                # a `pts @ R.T` matmul would run bf16 on the MXU and quantize
+                # ~10 m coordinates to ~4 cm (proposal/icp.py numerics note)
+                pre = (rotate_points(prev_pts, -rotation)
                        - jnp.stack([translation, jnp.float32(0.0)]))
                 res = icp_point_to_line(pre, pts, prev_valid, valid, config)
-                r_comp = res.rotation @ r_pred
-                t_comp = (res.rotation
-                          @ jnp.stack([-translation, jnp.float32(0.0)])
-                          + res.translation)
+                # composite prev->cur: angle res.theta + (-rotation);
+                # t = R(res.theta) [-translation, 0] + res.translation
+                t_comp = (rotate_points(
+                    jnp.stack([-translation, jnp.float32(0.0)]), res.theta)
+                    + res.translation)
                 icp_trans = jnp.where(
                     v_active, jnp.sqrt(jnp.sum(t_comp * t_comp)), 0.0
                 )
                 icp_rot = jnp.where(
-                    v_active, 0.0, -jnp.arctan2(r_comp[1, 0], r_comp[0, 0])
+                    v_active, 0.0, rotation - res.theta
                 )
                 if floors_on:
                     e = config.floor_residual_ema
@@ -673,26 +677,52 @@ def replay_chunked(
     # then feed the chunked fs2 kernel ([C] prior rows per invocation).
     floors_xy = floors_th = None
     if config.use_icp_proposal:
-        from fastslam_tpu.proposal.icp import icp_point_to_line
+        from fastslam_tpu.proposal import adaptive
+        from fastslam_tpu.proposal.icp import icp_point_to_line, rotate_points
+
+        def match(prev_p, cur_p, prev_v, cur_v, warm_ang, warm_t):
+            """ICP prev->cur warm-started with the SE(2) prediction
+            (warm_ang, warm_t); returns the composite SE(2) (angle, t).
+
+            Rotations are applied elementwise and composed by angle
+            addition, NOT matmuls — bf16 MXU passes quantize ~10 m
+            coordinates to ~4 cm (proposal/icp.py numerics note)."""
+            pre = rotate_points(prev_p, warm_ang) + warm_t
+            res = icp_point_to_line(pre, cur_p, prev_v, cur_v, config)
+            return (warm_ang + res.theta,
+                    rotate_points(warm_t, res.theta) + res.translation)
 
         def one_icp(inp):
             prev_p, cur_p, prev_v, cur_v, rot, tr, va = inp
             # warm start with the command odometry (Runner.icp_refine)
-            cr, sr = jnp.cos(-rot), jnp.sin(-rot)
-            r_pred = jnp.stack([jnp.stack([cr, -sr]), jnp.stack([sr, cr])])
-            pre = prev_p @ r_pred.T - jnp.stack([tr, jnp.float32(0.0)])
-            res = icp_point_to_line(pre, cur_p, prev_v, cur_v, config)
-            r_comp = res.rotation @ r_pred
-            t_comp = (res.rotation @ jnp.stack([-tr, jnp.float32(0.0)])
-                      + res.translation)
+            ang, t_comp = match(
+                prev_p, cur_p, prev_v, cur_v, -rot,
+                jnp.stack([-tr, jnp.float32(0.0)]),
+            )
             icp_tr = jnp.where(va, jnp.sqrt(jnp.sum(t_comp * t_comp)), 0.0)
-            icp_rot = jnp.where(va, 0.0,
-                                -jnp.arctan2(r_comp[1, 0], r_comp[0, 0]))
-            return icp_rot, icp_tr
+            icp_rot = jnp.where(va, 0.0, -ang)
+            return icp_rot, icp_tr, ang, t_comp
+
+        def two_step(inp):
+            """Direct ICP scan(t-2) -> scan(t), command warm start.
+
+            Used ONLY to calibrate the scan-matcher's own noise online:
+            the discrepancy between this direct match and the composition
+            of the two single-step matches is odometry-free (the true
+            motion cancels), so its second moment estimates the ICP error
+            that the adaptive floors must NOT mistake for odometry error."""
+            p2, cur_p, v2, cur_v, rot1, tr1, rot2, tr2 = inp
+            warm_ang = -(rot1 + rot2)
+            warm_t = (rotate_points(jnp.stack([-tr1, jnp.float32(0.0)]),
+                                    -rot2)
+                      + jnp.stack([-tr2, jnp.float32(0.0)]))
+            return match(p2, cur_p, v2, cur_v, warm_ang, warm_t)
 
         pts_j = jnp.asarray(pts)
         val_j = jnp.asarray(valid)
-        icp_rots, icp_trs = jax.jit(lambda xs: jax.lax.map(one_icp, xs))((
+        icp_rots, icp_trs, angs, tvecs = jax.jit(
+            lambda xs: jax.lax.map(one_icp, xs)
+        )((
             pts_j[:-1], pts_j[1:], val_j[:-1], val_j[1:],
             jnp.asarray(rots[1:]), jnp.asarray(trans[1:]),
             jnp.asarray(v_active[1:]),
@@ -700,33 +730,38 @@ def replay_chunked(
         icp_rots = np.concatenate([[0.0], np.asarray(icp_rots)])
         icp_trs = np.concatenate([[0.0], np.asarray(icp_trs)])
 
-        if config.adaptive_proposal_floors:
-            # EMA floor recurrence, exact mirror of the fused tick's update
-            # (each floor updates only on its active-component ticks, THEN
-            # the tick's step uses the updated value)
-            e = config.floor_residual_ema
-            lo, hi = config.proposal_floor_min, config.proposal_floor_max
-            fxy, fth = config.proposal_xy_floor, config.proposal_theta_floor
-            floors_xy = np.empty(t_total, np.float32)
-            floors_th = np.empty(t_total, np.float32)
-            for t in range(t_total):
-                if t > 0:
-                    if v_active[t]:
-                        fxy = float(np.clip(
-                            (1 - e) * fxy + e * abs(icp_trs[t] - trans[t]),
-                            lo, hi))
-                    else:
-                        fth = float(np.clip(
-                            (1 - e) * fth + e * abs(icp_rots[t] - rots[t]),
-                            lo, hi))
-                floors_xy[t] = fxy
-                floors_th[t] = fth
+        d_ang = d_t2 = None
+        if config.adaptive_proposal_floors and t_total >= 3:
+            dir_ang, dir_t = jax.jit(
+                lambda xs: jax.lax.map(two_step, xs)
+            )((
+                pts_j[:-2], pts_j[2:], val_j[:-2], val_j[2:],
+                jnp.asarray(rots[1:-1]), jnp.asarray(trans[1:-1]),
+                jnp.asarray(rots[2:]), jnp.asarray(trans[2:]),
+            ))
+            d_ang, d_t2 = adaptive.consistency_discrepancy(
+                angs, tvecs, dir_ang, dir_t)
 
-        a = config.icp_blend
+        if config.adaptive_proposal_floors:
+            # floors, MMSE blends, and match-bias estimates from the SE(2)
+            # residuals and the two-step scan-matcher-noise calibration —
+            # the estimator lives in proposal/adaptive.py (unit-tested)
+            sr_th, sr_al, lat = adaptive.se2_residuals(
+                angs, tvecs, rots, trans)
+            sched = adaptive.floor_schedule(
+                sr_th, sr_al, lat, d_ang, d_t2, v_active, config)
+            floors_xy, floors_th = sched.floors_xy, sched.floors_th
+            a_r, a_t = sched.blend_th, sched.blend_xy
+            # no debias: translation ICP is unbiased (measured), rotation
+            # is never blended (adaptive.py rationale) — subtracting a
+            # slip-contaminated bias estimate would inject a correlated
+            # error that integrates over the run
+        else:
+            a_r = a_t = np.full(t_total, config.icp_blend, np.float32)
         blend = np.arange(t_total) > 0  # tick 0 has no previous scan
-        rots = np.where(blend, (1 - a) * rots + a * icp_rots,
+        rots = np.where(blend, (1 - a_r) * rots + a_r * icp_rots,
                         rots).astype(np.float32)
-        trans = np.where(blend, (1 - a) * trans + a * icp_trs,
+        trans = np.where(blend, (1 - a_t) * trans + a_t * icp_trs,
                          trans).astype(np.float32)
 
     # ---- filter: scan over whole chunks, per-tick tail ----
@@ -821,6 +856,9 @@ def replay_chunked(
     history.est_poses = [e for e in est]
     history.gt_poses = [g for g in gt]
     history.num_measurements = [int(x) for x in mv.sum(axis=1)]
+    if floors_xy is not None:
+        history.final_floors = (float(floors_xy[-1]), float(floors_th[-1]))
+        history.floor_traj = (floors_xy.copy(), floors_th.copy())
     for e, g in zip(est, gt):
         history.evaluations.append(evaluate_tick(g, e))
     return history

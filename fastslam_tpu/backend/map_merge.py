@@ -27,7 +27,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from fastslam_tpu.proposal.icp import best_fit_transform, nearest_neighbors
+from fastslam_tpu.proposal.icp import (
+    best_fit_angle, nearest_neighbors, rotate_points, rotation_matrix,
+)
 
 
 class MapAlignment(NamedTuple):
@@ -47,15 +49,19 @@ class MergedMap(NamedTuple):
 
 def transform_points(points: jax.Array, rotation: jax.Array,
                      translation: jax.Array) -> jax.Array:
-    """Apply an SE(2) transform to ``[N, 2]`` points."""
-    return points @ rotation.T + translation
+    """Apply an SE(2) transform to ``[N, 2]`` points.
+
+    Elementwise rotation, not ``points @ R.T`` — a bf16 MXU pass would
+    quantize metric coordinates (proposal/icp.py numerics note)."""
+    theta = jnp.arctan2(rotation[1, 0], rotation[0, 0])
+    return rotate_points(points, theta) + translation
 
 
 def transform_poses(poses: jax.Array, rotation: jax.Array,
                     translation: jax.Array) -> jax.Array:
     """Apply an SE(2) transform to ``[N, 3]`` (x, y, yaw) poses."""
-    xy = poses[:, :2] @ rotation.T + translation
     theta = jnp.arctan2(rotation[1, 0], rotation[0, 0])
+    xy = rotate_points(poses[:, :2], theta) + translation
     yaw = (poses[:, 2] + theta + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
     return jnp.concatenate([xy, yaw[:, None]], axis=1)
 
@@ -90,39 +96,40 @@ def align_landmark_maps(
         return (it < num_iters) & (~converged)
 
     def body(carry):
-        it, src, rot_total, trans_total, prev_err, _, _ = carry
+        it, src, theta_total, trans_total, prev_err, _, _ = carry
         # anneal slowly: capture phase (several iterations near the full
         # gate) must outlast ICP's convergence on the gross offset
         g = jnp.maximum(final_gate, gate * 0.93 ** it.astype(lm_b.dtype))
         dist, idx = nearest_neighbors(src, lm_a, valid_a)
         w = sw_base * (dist < g)
         matched = lm_a[idx]
-        rot, trans = best_fit_transform(src, matched, w)
-        src = src @ rot.T + trans
-        rot_total = rot @ rot_total
-        trans_total = rot @ trans_total + trans
+        theta, trans = best_fit_angle(src, matched, w)
+        src = rotate_points(src, theta) + trans
+        trans_total = rotate_points(trans_total, theta) + trans
+        theta_total = theta_total + theta
         err = jnp.sum(dist * w) / jnp.maximum(jnp.sum(w), 1e-12)
         # don't declare convergence while the gate is still annealing
         converged = (jnp.abs(prev_err - err) < tolerance) & (
             g <= final_gate * 1.01
         )
-        return it + 1, src, rot_total, trans_total, err, err, converged
+        return it + 1, src, theta_total, trans_total, err, err, converged
 
     init = (
         jnp.int32(0),
         lm_b,
-        jnp.eye(2, dtype=lm_b.dtype),
+        jnp.zeros((), lm_b.dtype),
         jnp.zeros((2,), lm_b.dtype),
         jnp.asarray(jnp.inf, lm_b.dtype),
         jnp.asarray(jnp.inf, lm_b.dtype),
         jnp.asarray(False),
     )
-    _, src, rot_total, trans_total, _, err, _ = jax.lax.while_loop(
+    _, src, theta_total, trans_total, _, err, _ = jax.lax.while_loop(
         cond, body, init
     )
     dist, _ = nearest_neighbors(src, lm_a, valid_a)
     n_matched = jnp.sum((dist < final_gate) & valid_b)
-    return MapAlignment(rotation=rot_total, translation=trans_total,
+    return MapAlignment(rotation=rotation_matrix(theta_total),
+                        translation=trans_total,
                         mean_residual=err, num_matched=n_matched)
 
 

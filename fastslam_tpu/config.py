@@ -135,6 +135,19 @@ class FastSLAMConfig:
     floor_residual_ema: float = 0.1       # EMA weight of the newest residual
     proposal_floor_min: float = 5e-4
     proposal_floor_max: float = 0.05
+    # winsorization cap on each squared residual sample, as a multiple of
+    # the current (m + q) moment estimate — ICP failures are heavy-tailed
+    # and one outlier must not whip an annealed floor open (the in-jit
+    # fused-tick EMA recurrence); ~2-sigma for a chi^2_1 sample
+    floor_residual_winsor: float = 4.0
+    # trailing median window (ticks, per tick type) for the batched
+    # proposal/adaptive.floor_schedule moment estimates
+    floor_window: int = 40
+    # blend ICP into the command odometry only when the estimated command
+    # error exceeds this (m on xy, rad on theta): below it the commands are
+    # at worst comparable to scan-match accuracy and blending only hurts
+    # (proposal/adaptive.py gate rationale)
+    blend_min_sigma: float = 0.008
 
     # ---- motion / app loop ----
     # production online loop: fuse ICP refine + frontend + tracking + filter

@@ -21,6 +21,14 @@ TPU-native reformulation:
 
 Padding: invalid source points are masked out of the error/centroid sums;
 invalid target points are excluded from the NN search by an additive mask.
+
+TPU numerics note (load-bearing): rotations are carried as ANGLES and applied
+elementwise (``x' = c x - s y``), never as ``points @ R.T`` matmuls.  On TPU,
+f32 matmuls default to bf16 MXU passes; point coordinates at ~10 m quantize
+to ~4 cm per pass, which compounds across ICP iterations and wrecked the
+scan-match (measured: 3.5x worse translation residuals TPU-vs-CPU before this
+reformulation).  Elementwise rotation runs on the VPU in exact f32 and is
+also faster than an MXU round-trip for 2-vectors.
 """
 
 from __future__ import annotations
@@ -38,6 +46,18 @@ class ICPResult(NamedTuple):
     translation: jax.Array   # [2] accumulated translation
     mean_error: jax.Array    # scalar final mean NN distance
     num_iters: jax.Array     # scalar iterations executed
+    theta: jax.Array         # scalar accumulated rotation angle (exact;
+    #                          prefer over decoding `rotation` — see module
+    #                          numerics note)
+
+
+def rotate_points(points: jax.Array, theta: jax.Array) -> jax.Array:
+    """Apply R(theta) to [..., 2] points elementwise (VPU, exact f32).
+
+    Replaces ``points @ R.T`` — see the module numerics note."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    x, y = points[..., 0], points[..., 1]
+    return jnp.stack([c * x - s * y, s * x + c * y], axis=-1)
 
 
 def nearest_neighbors(source: jax.Array, target: jax.Array,
@@ -53,9 +73,9 @@ def nearest_neighbors(source: jax.Array, target: jax.Array,
     return dist, idx
 
 
-def best_fit_transform(source: jax.Array, target: jax.Array,
-                       weight: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Weighted closed-form 2-D rigid alignment source -> target.
+def best_fit_angle(source: jax.Array, target: jax.Array,
+                   weight: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Weighted closed-form 2-D rigid alignment source -> target, as an angle.
 
     Equivalent to the reference's SVD route (``icp.py:59-89``) restricted to
     proper rotations: theta* = atan2(sum w (s x t), sum w (s . t)) over
@@ -69,10 +89,20 @@ def best_fit_transform(source: jax.Array, target: jax.Array,
     dot = jnp.sum(weight * (s[:, 0] * t[:, 0] + s[:, 1] * t[:, 1]))
     cross = jnp.sum(weight * (s[:, 0] * t[:, 1] - s[:, 1] * t[:, 0]))
     theta = jnp.arctan2(cross, dot)
+    trans = ct - rotate_points(cs, theta)
+    return theta, trans
+
+
+def rotation_matrix(theta: jax.Array) -> jax.Array:
     c, sn = jnp.cos(theta), jnp.sin(theta)
-    rot = jnp.array([[c, -sn], [sn, c]])
-    trans = ct - rot @ cs
-    return rot, trans
+    return jnp.array([[c, -sn], [sn, c]])
+
+
+def best_fit_transform(source: jax.Array, target: jax.Array,
+                       weight: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """`best_fit_angle` with the rotation materialized as a [2, 2] matrix."""
+    theta, trans = best_fit_angle(source, target, weight)
+    return rotation_matrix(theta), trans
 
 
 def icp(
@@ -85,8 +115,10 @@ def icp(
     """Iterative closest point between two masked point clouds.
 
     Loop structure mirrors ``icp.py:34-57``: NN correspondence, best-fit
-    transform, apply to the source, accumulate (R_total = R R_total,
-    t_total = R t_total + t), converge on |prev_err - err| < tolerance.
+    transform, apply to the source, accumulate (theta_total += theta,
+    t_total = R(theta) t_total + t), converge on |prev_err - err| < tolerance.
+    Rotation composition is angle addition; application is elementwise
+    (module numerics note).
     """
     sw = source_valid.astype(source.dtype)
 
@@ -95,29 +127,30 @@ def icp(
         return (it < config.icp_max_iterations) & (~converged)
 
     def body(carry):
-        it, src, rot_total, trans_total, prev_err, _, _ = carry
+        it, src, theta_total, trans_total, prev_err, _, _ = carry
         dist, idx = nearest_neighbors(src, target, target_valid)
         matched = target[idx]
-        rot, trans = best_fit_transform(src, matched, sw)
-        src = src @ rot.T + trans
-        rot_total = rot @ rot_total
-        trans_total = rot @ trans_total + trans
+        theta, trans = best_fit_angle(src, matched, sw)
+        src = rotate_points(src, theta) + trans
+        trans_total = rotate_points(trans_total, theta) + trans
+        theta_total = theta_total + theta
         err = jnp.sum(dist * sw) / jnp.maximum(jnp.sum(sw), 1e-12)
         converged = jnp.abs(prev_err - err) < config.icp_tolerance
-        return it + 1, src, rot_total, trans_total, err, err, converged
+        return it + 1, src, theta_total, trans_total, err, err, converged
 
     init = (
         jnp.int32(0),
         source,
-        jnp.eye(2, dtype=source.dtype),
+        jnp.zeros((), source.dtype),
         jnp.zeros((2,), source.dtype),
         jnp.asarray(jnp.inf, source.dtype),
         jnp.asarray(jnp.inf, source.dtype),
         jnp.asarray(False),
     )
-    it, _, rot_total, trans_total, _, err, _ = jax.lax.while_loop(cond, body, init)
-    return ICPResult(rotation=rot_total, translation=trans_total,
-                     mean_error=err, num_iters=it)
+    it, _, theta_total, trans_total, _, err, _ = jax.lax.while_loop(cond, body, init)
+    return ICPResult(rotation=rotation_matrix(theta_total),
+                     translation=trans_total,
+                     mean_error=err, num_iters=it, theta=theta_total)
 
 
 def estimate_normals(points: jax.Array, valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -167,7 +200,7 @@ def icp_point_to_line(
         return (it < config.icp_max_iterations) & (~converged)
 
     def body(carry):
-        it, src, rot_total, trans_total, prev_err, _, _ = carry
+        it, src, theta_total, trans_total, prev_err, _, _ = carry
         dist, idx = nearest_neighbors(src, target, target_valid)
         q = target[idx]
         n = normals[idx]
@@ -202,29 +235,28 @@ def icp_point_to_line(
         tx = (c01 * b0 + c11 * b1 + c12 * b2) / det
         ty = (c02 * b0 + c12 * b1 + c22 * b2) / det
 
-        c, sn = jnp.cos(theta), jnp.sin(theta)
-        rot = jnp.array([[c, -sn], [sn, c]])
-        trans = jnp.array([tx, ty])
-        src = src @ rot.T + trans
-        rot_total = rot @ rot_total
-        trans_total = rot @ trans_total + trans
+        trans = jnp.stack([tx, ty])
+        src = rotate_points(src, theta) + trans
+        trans_total = rotate_points(trans_total, theta) + trans
+        theta_total = theta_total + theta
 
         err = jnp.sum(dist * w) / jnp.maximum(jnp.sum(w), 1e-12)
         converged = jnp.abs(prev_err - err) < config.icp_tolerance
-        return it + 1, src, rot_total, trans_total, err, err, converged
+        return it + 1, src, theta_total, trans_total, err, err, converged
 
     init = (
         jnp.int32(0),
         source,
-        jnp.eye(2, dtype=source.dtype),
+        jnp.zeros((), source.dtype),
         jnp.zeros((2,), source.dtype),
         jnp.asarray(jnp.inf, source.dtype),
         jnp.asarray(jnp.inf, source.dtype),
         jnp.asarray(False),
     )
-    it, _, rot_total, trans_total, _, err, _ = jax.lax.while_loop(cond, body, init)
-    return ICPResult(rotation=rot_total, translation=trans_total,
-                     mean_error=err, num_iters=it)
+    it, _, theta_total, trans_total, _, err, _ = jax.lax.while_loop(cond, body, init)
+    return ICPResult(rotation=rotation_matrix(theta_total),
+                     translation=trans_total,
+                     mean_error=err, num_iters=it, theta=theta_total)
 
 
 def icp_odometry(result: ICPResult, v: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -235,7 +267,5 @@ def icp_odometry(result: ICPResult, v: jax.Array) -> Tuple[jax.Array, jax.Array]
     """
     moving = v != 0
     translation = jnp.where(moving, jnp.linalg.norm(result.translation), 0.0)
-    rotation = jnp.where(
-        moving, 0.0, -jnp.arctan2(result.rotation[1, 0], result.rotation[0, 0])
-    )
+    rotation = jnp.where(moving, 0.0, -result.theta)
     return rotation, translation
