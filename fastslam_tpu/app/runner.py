@@ -104,9 +104,17 @@ class SLAMRunner:
                 "proposal: requires use_icp_proposal=True and "
                 "proposal_mode='fastslam2'"
             )
-        # EMA state of the online residual estimate (host-side scalars)
+        # host-side state of the online odometry-error estimator
+        # (proposal/adaptive.py — shared with the batched replay path)
         self._floor_xy = config.proposal_xy_floor
         self._floor_th = config.proposal_theta_floor
+        self._blend_xy = 0.0
+        self._prev_cmd = (0.0, 0.0)
+        self._prev_se2 = (0.0, 0.0, 0.0)
+        if self._adaptive_floors:
+            from fastslam_tpu.proposal.adaptive import OnlineFloorEstimator
+
+            self._floor_est = OnlineFloorEstimator(config)
         if self.uses_planes and self._adaptive_floors:
             self._step = jax.jit(
                 lambda st, rot, trans, ms, fxy, fth: kernels.fastslam_step_planes(
@@ -150,6 +158,7 @@ class SLAMRunner:
         # choices (float-tolerance, not bit-exact).
         self._fused = None
         self._prev_scan_dev = None
+        self._prev2_scan_dev = None
         if not config.parity_mode and config.fuse_online_tick:
             self._fused = self._build_fused_tick()
 
@@ -179,81 +188,112 @@ class SLAMRunner:
         (robot.py:90-120: translating ticks take |t|, rotating ticks the
         angle).  Without the warm start, large per-tick rotations alias along
         walls and ICP under-estimates turns by ~15%, which integrates into
-        trajectory divergence.  ``icp_blend`` interpolates command vs match.
+        trajectory divergence.  With fixed blending, ``icp_blend``
+        interpolates command vs match; with ``adaptive_proposal_floors``
+        the shared :class:`~fastslam_tpu.proposal.adaptive.
+        OnlineFloorEstimator` drives a translation-only MMSE blend and the
+        proposal floors (same estimator as the batched replay and the
+        fused tick).
         """
         import jax.numpy as jnp
 
         cur = (np.asarray(points, np.float32), np.asarray(valid))
         prev = self._prev_scan
+        prev2 = getattr(self, "_prev2_scan", None)
+        self._prev2_scan = prev
         self._prev_scan = cur
         if prev is None:
+            self._prev_cmd = (float(rotation), float(translation))
             return rotation, translation
 
-        # predicted motion prev->cur frame: x_cur = R(-rot) x_prev - (trans, 0)
-        c, s = np.cos(-rotation), np.sin(-rotation)
-        r_pred = np.array([[c, -s], [s, c]], np.float32)
-        pre = prev[0] @ r_pred.T - np.array([translation, 0.0], np.float32)
+        def match(src, src_valid, warm_ang, warm_t):
+            """Warm-started composite SE(2) match src -> cur (elementwise
+            rotations — proposal/icp.py numerics note)."""
+            ca, sa = np.cos(warm_ang), np.sin(warm_ang)
+            pre = np.stack([ca * src[:, 0] - sa * src[:, 1],
+                            sa * src[:, 0] + ca * src[:, 1]], -1) + warm_t
+            res = self._icp(
+                jnp.asarray(pre, jnp.float32), jnp.asarray(cur[0]),
+                jnp.asarray(src_valid), jnp.asarray(cur[1]),
+            )
+            th = float(res.theta)
+            ct, st = np.cos(th), np.sin(th)
+            t = np.array([ct * warm_t[0] - st * warm_t[1],
+                          st * warm_t[0] + ct * warm_t[1]]) \
+                + np.asarray(res.translation)
+            return warm_ang + th, t
 
-        res = self._icp(
-            jnp.asarray(pre), jnp.asarray(cur[0]),
-            jnp.asarray(prev[1]), jnp.asarray(cur[1]),
-        )
-        r_res = np.asarray(res.rotation)
-        t_res = np.asarray(res.translation)
-        # composite map prev->cur
-        r_comp = r_res @ r_pred
-        t_comp = r_res @ np.array([-translation, 0.0]) + t_res
-
+        ang, t_comp = match(prev[0], prev[1], -rotation,
+                            np.array([-translation, 0.0], np.float32))
         if v != 0:
             icp_rot, icp_trans = 0.0, float(np.linalg.norm(t_comp))
         else:
-            icp_rot = float(-np.arctan2(r_comp[1, 0], r_comp[0, 0]))
-            icp_trans = 0.0
+            icp_rot, icp_trans = float(-ang), 0.0
 
         if self._adaptive_floors:
-            # the ICP-vs-command residual is an online sample of the real
-            # odometry error scale (clean odometry -> tiny residual -> tight
-            # floors; wheel slip -> the scan match disagrees with the command
-            # by the slip magnitude -> the floors open up to match).  EMA
-            # keeps single-tick ICP noise from whipping the proposal around.
-            cfg = self.config
-            e = cfg.floor_residual_ema
-            clip = lambda x: float(
-                np.clip(x, cfg.proposal_floor_min, cfg.proposal_floor_max)
-            )
-            # each floor updates only on the ticks its motion component is
-            # active (rotation-XOR-translation odometry): a translation tick
-            # says nothing about rotation error, and a stream of 0-residual
-            # inactive ticks would otherwise drag the EMA to the min
-            if v != 0:
-                self._floor_xy = clip(
-                    (1 - e) * self._floor_xy + e * abs(icp_trans - translation)
-                )
-            else:
-                self._floor_th = clip(
-                    (1 - e) * self._floor_th + e * abs(icp_rot - rotation)
-                )
+            from fastslam_tpu.proposal import adaptive
 
-        a = self.config.icp_blend
+            k = int(v != 0)
+            sr, al, la = adaptive.se2_residuals(
+                np.array([ang], np.float32),
+                np.array([t_comp], np.float32),
+                np.array([0.0, rotation], np.float32),
+                np.array([0.0, translation], np.float32),
+            )
+            kw = dict(sr_th=float(sr[1]), sr_al=float(al[1]),
+                      lat=float(la[1]))
+            if prev2 is not None:
+                rot_prev, trans_prev = self._prev_cmd
+                cp, sp = np.cos(-rotation), np.sin(-rotation)
+                warm2_t = np.array([
+                    cp * -trans_prev, sp * -trans_prev], np.float32) \
+                    + np.array([-translation, 0.0], np.float32)
+                dir_ang, dir_t = match(prev2[0], prev2[1],
+                                       -(rot_prev + rotation), warm2_t)
+                pa, pt = self._prev_se2[0], self._prev_se2[1:]
+                d_ang, d_t2 = adaptive.consistency_discrepancy(
+                    np.array([pa, ang], np.float32),
+                    np.array([pt, t_comp], np.float32),
+                    np.array([dir_ang], np.float32),
+                    np.array([dir_t], np.float32),
+                )
+                kw.update(d_ang=float(d_ang[0]), d_t2=float(d_t2[0]))
+            self._prev_se2 = (ang, float(t_comp[0]), float(t_comp[1]))
+            self._prev_cmd = (float(rotation), float(translation))
+            a_t = self._blend_xy  # previous ticks' estimate (causal)
+            a_r = 0.0             # rotation never blended (adaptive.py)
+            fxy, fth, a_xy, _a_th, _diag = self._floor_est.update(k, **kw)
+            self._floor_xy, self._floor_th = fxy, fth
+            self._blend_xy = a_xy
+        else:
+            self._prev_cmd = (float(rotation), float(translation))
+            a_r = a_t = self.config.icp_blend
         return (
-            (1.0 - a) * rotation + a * icp_rot,
-            (1.0 - a) * translation + a * icp_trans,
+            (1.0 - a_r) * rotation + a_r * icp_rot,
+            (1.0 - a_t) * translation + a_t * icp_trans,
         )
 
     # --------------------------------------------------------- fused tick
     def _build_fused_tick(self):
         """One jitted function for the WHOLE tick: (optional) warm-started
-        ICP odometry refinement + adaptive-floor EMA, (optional) corner
-        tracking, scan->measurement frontend, and the filter step.
+        ICP odometry refinement (+ the two-step consistency match for the
+        host-side adaptive-floor estimator), (optional) corner tracking,
+        scan->measurement frontend, and the filter step.
 
         The split loop issued 2-3 dispatches per tick (frontend, ICP, step),
         each paying the documented ~50-80 ms tunnel overhead; this issues
         exactly one.  The in-jit ICP epilogue mirrors :meth:`icp_refine`
         (jnp float32 instead of host float64 — float-tolerance equivalent).
+        Adaptive floors and the translation blend arrive as TRACED scalars
+        computed by the host :class:`~fastslam_tpu.proposal.adaptive.
+        OnlineFloorEstimator` from the previous ticks' residuals (one-tick
+        coefficient lag; the residuals themselves are current).
 
-        Returns ``(state, tracks_or_None, out[8])`` with
+        Returns ``(state, tracks_or_None, out[14])`` with
         ``out = [est_x, est_y, est_yaw, rot_used, trans_used, n_meas,
-        floor_xy, floor_th]`` so the host reads ONE small array per tick.
+        floor_xy, floor_th, ang, t_x, t_y, dir_ang, dir_tx, dir_ty]`` so
+        the host reads ONE small array per tick (the last six feed the
+        estimator: single-step SE(2) match and direct two-step match).
         """
         config = self.config
         use_icp = config.use_icp_proposal
@@ -274,9 +314,14 @@ class SLAMRunner:
             )
 
         def fused(state, tracks, pts, valid, prev_pts, prev_valid,
-                  rotation, translation, v_active, has_prev, fxy, fth):
+                  prev2_pts, prev2_valid, rotation, translation,
+                  rot_prev, trans_prev, v_active, has_prev, fxy, fth, a_xy):
             rotation = jnp.float32(rotation)
             translation = jnp.float32(translation)
+            ang = jnp.float32(0.0)
+            t_comp = jnp.zeros(2, jnp.float32)
+            dir_ang = jnp.float32(0.0)
+            dir_t = jnp.zeros(2, jnp.float32)
             if use_icp:
                 # warm start with the command odometry (see icp_refine);
                 # rotations applied elementwise, composed by angle addition —
@@ -287,32 +332,41 @@ class SLAMRunner:
                 res = icp_point_to_line(pre, pts, prev_valid, valid, config)
                 # composite prev->cur: angle res.theta + (-rotation);
                 # t = R(res.theta) [-translation, 0] + res.translation
+                ang = res.theta - rotation
                 t_comp = (rotate_points(
                     jnp.stack([-translation, jnp.float32(0.0)]), res.theta)
                     + res.translation)
                 icp_trans = jnp.where(
                     v_active, jnp.sqrt(jnp.sum(t_comp * t_comp)), 0.0
                 )
-                icp_rot = jnp.where(
-                    v_active, 0.0, rotation - res.theta
-                )
+                icp_rot = jnp.where(v_active, 0.0, -ang)
                 if floors_on:
-                    e = config.floor_residual_ema
-                    clip = lambda x: jnp.clip(
-                        x, config.proposal_floor_min, config.proposal_floor_max
-                    )
-                    up_xy = clip((1 - e) * fxy
-                                 + e * jnp.abs(icp_trans - translation))
-                    up_th = clip((1 - e) * fth
-                                 + e * jnp.abs(icp_rot - rotation))
-                    fxy = jnp.where(has_prev & v_active, up_xy, fxy)
-                    fth = jnp.where(has_prev & ~v_active, up_th, fth)
-                a = config.icp_blend
+                    # direct two-step match scan(t-2)->scan(t) for the
+                    # online matcher-noise calibration (the host estimator
+                    # compares it with the composition of the single-step
+                    # matches — proposal/adaptive.py)
+                    warm2_ang = -(rot_prev + rotation)
+                    warm2_t = (rotate_points(
+                        jnp.stack([-trans_prev, jnp.float32(0.0)]),
+                        -rotation)
+                        + jnp.stack([-translation, jnp.float32(0.0)]))
+                    pre2 = rotate_points(prev2_pts, warm2_ang) + warm2_t
+                    res2 = icp_point_to_line(pre2, pts, prev2_valid, valid,
+                                             config)
+                    dir_ang = warm2_ang + res2.theta
+                    dir_t = (rotate_points(warm2_t, res2.theta)
+                             + res2.translation)
+                    # translation-only MMSE blend from the host estimator
+                    # (rotation is never blended — adaptive.py rationale)
+                    a_r = jnp.float32(0.0)
+                    a_t = jnp.float32(a_xy)
+                else:
+                    a_r = a_t = jnp.float32(config.icp_blend)
                 rotation = jnp.where(
-                    has_prev, (1 - a) * rotation + a * icp_rot, rotation
+                    has_prev, (1 - a_r) * rotation + a_r * icp_rot, rotation
                 )
                 translation = jnp.where(
-                    has_prev, (1 - a) * translation + a * icp_trans,
+                    has_prev, (1 - a_t) * translation + a_t * icp_trans,
                     translation,
                 )
             if track:
@@ -337,7 +391,9 @@ class SLAMRunner:
             out = jnp.concatenate([
                 est,
                 jnp.stack([rotation, translation, n_meas,
-                           jnp.float32(fxy), jnp.float32(fth)]),
+                           jnp.float32(fxy), jnp.float32(fth),
+                           ang, t_comp[0], t_comp[1],
+                           dir_ang, dir_t[0], dir_t[1]]),
             ])
             return state, tracks, out
 
@@ -353,26 +409,62 @@ class SLAMRunner:
         """
         pts = jnp.asarray(points, jnp.float32)
         vld = jnp.asarray(valid)
-        has_prev = False
-        prev_pts = prev_valid = None
+        has_prev = has_prev2 = False
+        prev_pts = prev_valid = prev2_pts = prev2_valid = None
         if self.config.use_icp_proposal:
             prev = self._prev_scan_dev
+            prev2 = self._prev2_scan_dev
+            self._prev2_scan_dev = prev
             self._prev_scan_dev = (pts, vld)
             has_prev = prev is not None
+            has_prev2 = prev2 is not None
             prev_pts, prev_valid = prev if has_prev else (pts, vld)
+            prev2_pts, prev2_valid = prev2 if has_prev2 else (pts, vld)
         tracks = self._tracks if self.config.track_corners else None
+        rot_prev, trans_prev = self._prev_cmd
+        self._prev_cmd = (float(rotation), float(translation))
         self.state, tracks, out = self._fused(
             self.state, tracks, pts, vld, prev_pts, prev_valid,
+            prev2_pts, prev2_valid,
             np.float32(rotation), np.float32(translation),
+            np.float32(rot_prev), np.float32(trans_prev),
             bool(v != 0), bool(has_prev),
             np.float32(self._floor_xy), np.float32(self._floor_th),
+            np.float32(self._blend_xy),
         )
         if self.config.track_corners:
             self._tracks = tracks
         out = np.asarray(out)
         self._last_num_measurements = int(out[5])
         if self._adaptive_floors:
-            self._floor_xy, self._floor_th = float(out[6]), float(out[7])
+            # feed the estimator this tick's residuals; its outputs become
+            # the floors/blend TRACED into the next tick
+            from fastslam_tpu.proposal import adaptive
+            ang, tx, ty = float(out[8]), float(out[9]), float(out[10])
+            k = int(v != 0)
+            kw = {}
+            if has_prev:
+                sr, al, la = adaptive.se2_residuals(
+                    np.array([ang], np.float32),
+                    np.array([[tx, ty]], np.float32),
+                    np.array([0.0, rotation], np.float32),
+                    np.array([0.0, translation], np.float32),
+                )
+                kw.update(sr_th=float(sr[1]), sr_al=float(al[1]),
+                          lat=float(la[1]))
+            if has_prev2:
+                pa, ptx, pty = self._prev_se2
+                d_ang, d_t2 = adaptive.consistency_discrepancy(
+                    np.array([pa, ang], np.float32),
+                    np.array([[ptx, pty], [tx, ty]], np.float32),
+                    np.array([out[11]], np.float32),
+                    np.array([[out[12], out[13]]], np.float32),
+                )
+                kw.update(d_ang=float(d_ang[0]), d_t2=float(d_t2[0]))
+            self._prev_se2 = (ang, tx, ty)
+            fxy, fth, a_xy, _a_th, _diag = self._floor_est.update(k, **kw)
+            self._floor_xy, self._floor_th = fxy, fth
+            self._blend_xy = a_xy
 
         if self.iteration < self.config.warmup_iterations:
             rot_u, trans_u = float(out[3]), float(out[4])

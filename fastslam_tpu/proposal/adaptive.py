@@ -129,41 +129,41 @@ class _TypedWindows:
         return self.w[k] if self.w[k] else self.w[1 - k]
 
 
-def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
-    """Per-tick proposal floors, odometry blends, and ICP bias estimates.
+class OnlineFloorEstimator:
+    """Incremental form of :func:`floor_schedule` — one ``update`` per tick.
 
-    Causal: the values at tick t use residuals from ticks <= t only."""
-    t_total = len(sr_th)
-    lo, hi = config.proposal_floor_min, config.proposal_floor_max
-    win = config.floor_window
-    blend_min = config.blend_min_sigma
+    The batched replay and the online per-tick engines share this single
+    implementation, so the two production paths cannot drift apart.
+    Causal: the outputs after tick t use residuals from ticks <= t only.
+    """
 
-    floors_xy = np.empty(t_total, np.float32)
-    floors_th = np.empty(t_total, np.float32)
-    blend_xy = np.zeros(t_total, np.float32)
-    blend_th = np.zeros(t_total, np.float32)
-    bias_tr = np.zeros(t_total, np.float32)
-    bias_th = np.zeros(t_total, np.float32)
+    def __init__(self, config):
+        self.config = config
+        win = config.floor_window
+        self.rw_th = _TypedWindows(win)   # signed rotation residuals
+        self.rw_al = _TypedWindows(win)   # signed along-track residuals
+        self.rw_lat = _TypedWindows(win)  # squared lateral residuals
+        self.qw_th = _TypedWindows(win)   # squared consistency samples
+        self.qw_xy = _TypedWindows(win)
+        self.first_tick = True
 
-    rw_th = _TypedWindows(win)   # signed rotation residuals
-    rw_al = _TypedWindows(win)   # signed along-track residuals
-    rw_lat = _TypedWindows(win)  # squared lateral residuals
-    qw_th = _TypedWindows(win)   # squared consistency samples
-    qw_xy = _TypedWindows(win)
-
-    diag = {k: np.zeros(t_total) for k in
-            ("m_xy", "m_th", "q_xy", "q_th", "b_tr", "b_th")}
-
-    for t in range(t_total):
-        k = int(v_active[t])
-        if t > 0:
-            rw_th.push(k, sr_th[t])
-            rw_al.push(k, sr_al[t])
-            rw_lat.push(k, lat[t] ** 2)
-        if d_ang is not None and t >= 2:
+    def update(self, k, sr_th=None, sr_al=None, lat=None,
+               d_ang=None, d_t2=None):
+        """Ingest tick residuals (None = unavailable, e.g. tick 0 has no
+        previous scan and ticks 0-1 no two-step pair), return
+        ``(floor_xy, floor_th, blend_xy, blend_th, diag)`` for tick type
+        ``k`` (0 = rotation tick, 1 = translation tick)."""
+        config = self.config
+        lo, hi = config.proposal_floor_min, config.proposal_floor_max
+        blend_min = config.blend_min_sigma
+        if sr_th is not None:
+            self.rw_th.push(k, sr_th)
+            self.rw_al.push(k, sr_al)
+            self.rw_lat.push(k, lat ** 2)
+        if d_ang is not None:
             # var(direct - composed) = 3 sigma^2; d_t2 sums two axes
-            qw_th.push(k, d_ang[t - 2] ** 2 / 3.0)
-            qw_xy.push(k, d_t2[t - 2] / 6.0)
+            self.qw_th.push(k, d_ang ** 2 / 3.0)
+            self.qw_xy.push(k, d_t2 / 6.0)
 
         # m shrinks toward the CONFIG PRIOR while this tick type has few
         # samples, never toward the other type's stats: under the
@@ -175,8 +175,8 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
         # (matcher noise) is a property of the scans, not the regime, so
         # cross-type fallback there is safe.
         n0 = 8
-        th_w = rw_th.w[k]
-        al_w = rw_al.w[k]
+        th_w = self.rw_th.w[k]
+        al_w = self.rw_al.w[k]
         b_th = float(np.median(th_w)) if th_w else 0.0
         b_al = float(np.median(al_w)) if al_w else 0.0
         lam_th = max(0.0, (n0 - len(th_w)) / n0)
@@ -188,10 +188,10 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
                 + (1 - lam_th) * m_th_data)
         m_al = (lam_al * config.proposal_xy_floor ** 2
                 + (1 - lam_al) * m_al_data)
-        m_lat = _var(rw_lat.w[k]) if rw_lat.w[k] else m_al
+        m_lat = _var(self.rw_lat.w[k]) if self.rw_lat.w[k] else m_al
         m_xy = (m_al + m_lat) / 2.0
-        q_th = _var(qw_th.get(k))
-        q_xy = _var(qw_xy.get(k))
+        q_th = _var(self.qw_th.get(k))
+        q_xy = _var(self.qw_xy.get(k))
         # the bias estimate itself carries sampling error ~ pi/2 * m / n
         # (median of n samples); the debiased match error is white noise
         # plus that residue.  Data moments only — the config-prior portion
@@ -202,20 +202,15 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
         q_th_eff = q_th + 1.57 * m_th_data / n_th
         q_xy_eff = q_xy + 1.57 * m_al_data / n_al
 
-        diag["m_xy"][t], diag["q_xy"][t] = m_xy, q_xy_eff
-        diag["m_th"][t], diag["q_th"][t] = m_th, q_th_eff
-        diag["b_tr"][t], diag["b_th"][t] = b_al, b_th
-
         # command error variance (quadrature subtraction) and the MMSE
-        # command-vs-debiased-ICP blend.  The blend is gated on the
-        # ABSOLUTE estimated command error: measured regimes separate
-        # cleanly there (clean-log worst case sigma ~ 0.006 from turn-time
-        # ICP noise the consistency check under-subtracts; real slip
-        # >= 0.013) where the m/q ratio does not (clean ratios reach 13
-        # when both moments are microscopic).  Below the gate, blending
-        # only pollutes near-exact commands with scan-match noise
-        # (measured: clean ATE 0.09 with an ungated blend vs 0.034
-        # without).
+        # command-vs-ICP blend.  The blend is gated on the ABSOLUTE
+        # estimated command error: measured regimes separate cleanly there
+        # (clean-log worst case sigma ~ 0.006 from turn-time ICP noise the
+        # consistency check under-subtracts; real slip >= 0.013) where the
+        # m/q ratio does not (clean ratios reach 13 when both moments are
+        # microscopic).  Below the gate, blending only pollutes near-exact
+        # commands with scan-match noise (measured: clean ATE 0.09 with an
+        # ungated blend vs 0.034 without).
         so_xy = max(m_xy - q_xy_eff, 0.0)
         so_th = max(m_th - q_th_eff, 0.0)
         # blend only once the moment is data-driven (>= 4 samples): with
@@ -234,20 +229,50 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
         # handle: the proposal floor opens to the estimated slip scale on
         # rotation ticks and the filter corrects from landmarks.
         a_th = 0.0
-        blend_xy[t] = a_xy
-        blend_th[t] = a_th
-        bias_tr[t] = b_al
-        bias_th[t] = b_th
         # the floor must match the error of the odometry the filter will
         # actually receive — the BLENDED one: var((1-a) cmd + a icp') =
         # (1-a)^2 sigma_odo^2 + a^2 sigma_icp'^2.  At a=0 that is the
         # command error m - q; at the MMSE blend it collapses toward a*q —
         # with a slip-aware blend the proposal stays nearly as tight under
         # slip as on clean logs.
-        floors_xy[t] = np.clip(
-            np.sqrt((1 - a_xy) ** 2 * so_xy + a_xy ** 2 * q_xy_eff), lo, hi)
-        floors_th[t] = np.clip(
-            np.sqrt((1 - a_th) ** 2 * so_th + a_th ** 2 * q_th_eff), lo, hi)
+        fxy = float(np.clip(
+            np.sqrt((1 - a_xy) ** 2 * so_xy + a_xy ** 2 * q_xy_eff), lo, hi))
+        fth = float(np.clip(
+            np.sqrt((1 - a_th) ** 2 * so_th + a_th ** 2 * q_th_eff), lo, hi))
+        diag = {"m_xy": m_xy, "m_th": m_th, "q_xy": q_xy_eff,
+                "q_th": q_th_eff, "b_tr": b_al, "b_th": b_th}
+        return fxy, fth, a_xy, a_th, diag
+
+
+def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
+    """Per-tick proposal floors, odometry blends, and ICP bias estimates
+    for a whole recorded run (the batched replay path).
+
+    Causal: the values at tick t use residuals from ticks <= t only."""
+    t_total = len(sr_th)
+    floors_xy = np.empty(t_total, np.float32)
+    floors_th = np.empty(t_total, np.float32)
+    blend_xy = np.zeros(t_total, np.float32)
+    blend_th = np.zeros(t_total, np.float32)
+    bias_tr = np.zeros(t_total, np.float32)
+    bias_th = np.zeros(t_total, np.float32)
+    diag = {key: np.zeros(t_total) for key in
+            ("m_xy", "m_th", "q_xy", "q_th", "b_tr", "b_th")}
+
+    est = OnlineFloorEstimator(config)
+    for t in range(t_total):
+        k = int(v_active[t])
+        res = (sr_th[t], sr_al[t], lat[t]) if t > 0 else (None, None, None)
+        dd = (d_ang[t - 2], d_t2[t - 2]) \
+            if d_ang is not None and t >= 2 else (None, None)
+        fxy, fth, a_xy, a_th, dg = est.update(
+            k, sr_th=res[0], sr_al=res[1], lat=res[2],
+            d_ang=dd[0], d_t2=dd[1])
+        floors_xy[t], floors_th[t] = fxy, fth
+        blend_xy[t], blend_th[t] = a_xy, a_th
+        bias_tr[t], bias_th[t] = dg["b_tr"], dg["b_th"]
+        for key in diag:
+            diag[key][t] = dg[key]
 
     return FloorSchedule(floors_xy, floors_th, blend_xy, blend_th,
                          bias_tr, bias_th, diag)
