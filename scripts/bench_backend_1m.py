@@ -26,13 +26,28 @@ import numpy as np
 RESULTS = os.path.join(os.path.dirname(__file__), "..", "eval_results")
 
 
-def survey_world_chunked(n_landmarks, k=256, field=2000.0, sigma_xy=0.05,
+def survey_world_chunked(n_landmarks, k=256, spacing=4.0, sigma_xy=0.05,
                          sigma_th=0.001, seed=0, chunk=50_000):
     """Serpentine survey like tests/test_backend_scale.survey_world, with the
     landmark->nearest-keyframes search CHUNKED so the [n, k] distance matrix
     never materializes (at n=1M, k=256 it would be 2 GB).
-    Returns (noisy poses [K,3], per-keyframe obs list, ground truth [K,3])."""
+
+    Landmarks sit on a JITTERED GRID (``spacing`` ± spacing/4), which
+    guarantees >= spacing/2 separation between distinct landmarks — so an
+    association gate well below spacing/2 can merge the two observations of
+    the SAME landmark (relative drift between its two observing keyframes,
+    ~sigma_xy*sqrt(steps)) without ever merging different ones.  A uniform
+    scatter has no such floor (mean NN distance 0.5/sqrt(density)); at 1M
+    landmarks it forces the gate below the drift scale, every cross-row
+    observation pair splits, and the graph ends up with no loop closures to
+    optimize (observed: the round-3 first cut plateaued at keyframe error
+    1.85 m because of exactly this).
+
+    Returns (noisy poses [K,3], per-keyframe obs list, ground truth [K,3],
+    field side length)."""
     rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(n_landmarks)))
+    field = side * spacing
     rows = int(np.sqrt(k))
     cols = k // rows
     gt = np.zeros((rows * cols, 3))
@@ -45,7 +60,10 @@ def survey_world_chunked(n_landmarks, k=256, field=2000.0, sigma_xy=0.05,
         gt[r * cols: (r + 1) * cols, 2] = 0.0 if r % 2 == 0 else np.pi
     k = rows * cols
 
-    lms = rng.uniform(0.0, field, (n_landmarks, 2))
+    gxy = np.stack(np.meshgrid(np.arange(side), np.arange(side),
+                               indexing="ij"), axis=-1).reshape(-1, 2)
+    lms = (gxy[:n_landmarks] * spacing + spacing / 2
+           + rng.uniform(-spacing / 4, spacing / 4, (n_landmarks, 2)))
     nearest2 = np.empty((n_landmarks, 2), np.int64)
     for s in range(0, n_landmarks, chunk):
         blk = lms[s: s + chunk]
@@ -71,7 +89,7 @@ def survey_world_chunked(n_landmarks, k=256, field=2000.0, sigma_xy=0.05,
     ], axis=-1).cumsum(axis=0)
     noisy = gt + noise
     noisy[0] = gt[0]
-    return noisy, obs, gt
+    return noisy, obs, gt, field
 
 
 def run(n_landmarks=1_000_000, k=256, iters=4, n_devices=8,
@@ -93,18 +111,17 @@ def run(n_landmarks=1_000_000, k=256, iters=4, n_devices=8,
     mesh = Mesh(devs, ("map",))
 
     t0 = time.monotonic()
-    # field AND keyframe count scale with sqrt(n)/n so landmark density,
-    # keyframe spacing, and observation ranges all match the proven 110k
-    # configuration (tests/test_backend_scale.py: field 600, k=100) — long
-    # ranges would let heading drift split clusters across grid cells
-    field = 600.0 * float(np.sqrt(n_landmarks / 110_000.0))
-    noisy, obs, gt = survey_world_chunked(n_landmarks, k=k, field=field,
-                                          sigma_xy=0.08, seed=1)
+    # grid spacing 4 m -> distinct landmarks >= 2 m apart; gate 1.0 merges
+    # same-landmark observation pairs (cross-row relative drift
+    # ~sigma_xy*sqrt(<=64 steps) ~ 0.4 m) while never crossing the 2 m
+    # distinct-landmark floor -> the graph keeps its loop closures
+    noisy, obs, gt, field = survey_world_chunked(n_landmarks, k=k,
+                                                 sigma_xy=0.05, seed=1)
     world_s = time.monotonic() - t0
 
     t0 = time.monotonic()
     g = build_pose_graph(
-        noisy, obs, association_gate=0.5,
+        noisy, obs, association_gate=1.0,
         max_landmarks=lm_capacity, max_factors=factor_capacity,
         obs_sigma_r=0.05, obs_sigma_b=0.01,
         odo_sigma_xy=0.2, odo_sigma_theta=0.05,

@@ -115,12 +115,12 @@ def section_base(args):
         "production+icp (N=100)": dict(
             num_particles=100, parity_mode=False, use_icp_proposal=True,
         ),
-        # adaptive floors, residual-only ICP (blend 0: exact sim commands
-        # must not be polluted by scan-match noise)
+        # adaptive stack: the OnlineFloorEstimator drives the floors AND
+        # the translation-only command-vs-ICP blend (icp_blend is unused
+        # in adaptive mode)
         "production+fs2+adaptive (N=100)": dict(
             num_particles=100, parity_mode=False, proposal_mode="fastslam2",
-            use_icp_proposal=True, icp_blend=0.0,
-            adaptive_proposal_floors=True,
+            use_icp_proposal=True, adaptive_proposal_floors=True,
         ),
     }
     rows = {f"reference equations (NumPy oracle, N={args.oracle_particles})": [],
@@ -155,12 +155,12 @@ def section_slip(args):
         "production+icp (N=100, wheel slip)": dict(
             num_particles=100, parity_mode=False, use_icp_proposal=True,
         ),
-        # adaptive floors under slip: ICP blended in (it beats slipping
-        # commands) AND the floors open to the slip scale online
+        # adaptive stack under slip: the estimator detects the slip,
+        # blends ICP over the slipped translation commands, and opens the
+        # rotation floor to the slip scale
         "production+fs2+adaptive (N=100, wheel slip)": dict(
             num_particles=100, parity_mode=False, proposal_mode="fastslam2",
-            use_icp_proposal=True, icp_blend=0.5,
-            adaptive_proposal_floors=True,
+            use_icp_proposal=True, adaptive_proposal_floors=True,
         ),
     }
     oracle_name = (f"reference equations (NumPy oracle, "
@@ -191,7 +191,7 @@ def section_noise(args):
             f"production+fs2+adaptive (N=100, range noise {std})": dict(
                 num_particles=100, parity_mode=False,
                 proposal_mode="fastslam2", use_icp_proposal=True,
-                icp_blend=0.0, adaptive_proposal_floors=True,
+                adaptive_proposal_floors=True,
             ),
         }
         rows[oracle_name] = []
@@ -220,7 +220,7 @@ def section_scale(args):
         return seeds, rows
 
     adaptive = dict(proposal_mode="fastslam2", use_icp_proposal=True,
-                    icp_blend=0.0, adaptive_proposal_floors=True)
+                    adaptive_proposal_floors=True)
     modes = {
         "production (N=10k, TPU planes)": dict(
             num_particles=10_000, parity_mode=False, use_pallas=True),
@@ -252,7 +252,7 @@ def section_scale(args):
         "production+fs2+adaptive chunked C=8 (N=100k, TPU, wheel slip)":
             dict(num_particles=100_000, parity_mode=False, use_pallas=True,
                  proposal_mode="fastslam2", use_icp_proposal=True,
-                 icp_blend=0.5, adaptive_proposal_floors=True),
+                 adaptive_proposal_floors=True),
     }
     oracle_name = (f"reference equations (NumPy oracle, "
                    f"N={args.oracle_particles})")
