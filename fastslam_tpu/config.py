@@ -148,6 +148,15 @@ class FastSLAMConfig:
     # at worst comparable to scan-match accuracy and blending only hurts
     # (proposal/adaptive.py gate rationale)
     blend_min_sigma: float = 0.008
+    # fs2 importance-weight source.  False (default): bootstrap-style
+    # landmark likelihood at the SAMPLED pose — measured better in BOTH
+    # regimes (clean N=1024: 0.0155 vs 0.0200; slip with the adaptive
+    # stack: 0.052 vs 0.062): the theoretically-exact evidence
+    # N(nu; 0, S~ + Hx P Hx') is evaluated at the PREDICTED pose with
+    # linearized, chi2-gated innovations, and those approximations cost
+    # more than the lower-variance weights buy.  True restores the
+    # textbook evidence weighting.
+    fs2_evidence_weights: bool = False
 
     # ---- motion / app loop ----
     # production online loop: fuse ICP refine + frontend + tracking + filter

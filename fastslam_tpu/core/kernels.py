@@ -401,9 +401,12 @@ def fastslam2_propose(
     where ``S~`` is the landmark-side innovation covariance and ``Hx`` the
     pose Jacobian of the (range, bearing) model, accumulated over every
     measurement that associates to an existing landmark at the predicted
-    pose.  The importance weight is the measurement evidence
-    ``N(nu; 0, S~ + Hx P_motion Hx')`` — so the subsequent landmark EKF pass
-    must NOT multiply its likelihood again (``update_weights=False``).
+    pose.  The importance weight comes from exactly one place
+    (``config.fs2_evidence_weights``): either the measurement evidence
+    ``N(nu; 0, S~ + Hx P_motion Hx')`` applied here (textbook fs2), or —
+    the measured-better production default — the landmark EKF pass's
+    likelihood at the SAMPLED pose (``update_weights=True`` downstream,
+    no evidence here).
 
     Args:
       noise: ``[P, 3]`` standard-normal draws for the pose sample.
@@ -577,8 +580,15 @@ def fastslam2_propose(
     new_yaw = wrap_angle(mu2 + l20 * n0 + l21 * n1 + l22 * n2)
 
     poses = jnp.stack([new_x, new_y, new_yaw], axis=-1)
+    # weight source (config.fs2_evidence_weights): evidence here XOR the
+    # landmark-EKF likelihood pass (fastslam_step sets update_weights
+    # accordingly) — never both
+    if config.fs2_evidence_weights:
+        log_weights = state.log_weights + log_w_add
+    else:
+        log_weights = state.log_weights
     return (
-        state._replace(poses=poses, log_weights=state.log_weights + log_w_add),
+        state._replace(poses=poses, log_weights=log_weights),
         jnp.stack([px, py, yaw_pred], axis=-1),
     )
 
@@ -700,7 +710,10 @@ def fastslam_step(
             state, rotation, translation, measurements, noise, config,
             xy_floor=fxy, theta_floor=fth,
         )
-        state = update_particles(state, measurements, config, update_weights=False)
+        state = update_particles(
+            state, measurements, config,
+            update_weights=not config.fs2_evidence_weights,
+        )
     else:
         rot_noise = config.rotation_noise * jax.random.normal(k_rot, (p,), dtype=dt)
         trans_noise = config.translation_noise * jax.random.normal(

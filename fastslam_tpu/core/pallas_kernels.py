@@ -159,8 +159,9 @@ def _apply_measurement(
     (:func:`_fused_update_kernel`) and the multi-tick chunked kernel
     (:func:`_fused_multi_kernel`) — the arithmetic must stay identical.
     ``weight_update=False`` runs the map EKF without multiplying the
-    measurement likelihood into the weights (the FastSLAM 2.0 proposal
-    already weighted by the measurement evidence).
+    measurement likelihood into the weights (used when the FastSLAM 2.0
+    proposal already carried the evidence weight —
+    ``config.fs2_evidence_weights``).
 
     ``sym=True`` drops the redundant ``cc`` covariance plane: the production
     EKF symmetrizes every covariance write (``new_b == new_c`` below) and
@@ -717,6 +718,7 @@ def fused_update_planes(
 
 def _accumulate_proposal(
     acc, planes, pred_rows, prior_rows, z_scalars, *, slot, gate, meas_noise,
+    evidence=True,
 ):
     """One measurement of the FastSLAM 2.0 proposal accumulation on a
     particle tile — the in-kernel mirror of the scan body in
@@ -836,21 +838,23 @@ def _accumulate_proposal(
     e1a = e1a + usef * e1
     e2a = e2a + usef * e2
 
-    # evidence weight N(nu; 0, S~ + Hx P0 Hx') — motion prior projected
-    # through Hx (P0 = [[p00,p01,0],[p01,p11,0],[0,0,s_r2]])
-    q00 = g00 * (p00 * g00 + p01 * g01) + g01 * (p01 * g00 + p11 * g01)
-    q01 = g00 * (p00 * g10 + p01 * g11_) + g01 * (p01 * g10 + p11 * g11_)
-    q11 = (g10 * (p00 * g10 + p01 * g11_) + g11_ * (p01 * g10 + p11 * g11_)
-           + s_r2)
-    z00 = s00 + q00
-    z01 = s01 + q01
-    z11 = s11 + q11
-    z_det = jnp.maximum(z00 * z11 - z01 * z01, 1e-30)
-    zi = 1.0 / z_det
-    maha = (z11 * nu_r * nu_r - 2.0 * z01 * nu_r * nu_b
-            + z00 * nu_b * nu_b) * zi
-    log_ev = -0.5 * (maha + jnp.log(z_det)) - _LOG_TWO_PI
-    logw_add = jnp.where(use, logw_add + log_ev, logw_add)
+    if evidence:
+        # evidence weight N(nu; 0, S~ + Hx P0 Hx') — motion prior projected
+        # through Hx (P0 = [[p00,p01,0],[p01,p11,0],[0,0,s_r2]]); with
+        # fs2_evidence_weights=False the EKF pass weights instead
+        q00 = g00 * (p00 * g00 + p01 * g01) + g01 * (p01 * g00 + p11 * g01)
+        q01 = g00 * (p00 * g10 + p01 * g11_) + g01 * (p01 * g10 + p11 * g11_)
+        q11 = (g10 * (p00 * g10 + p01 * g11_)
+               + g11_ * (p01 * g10 + p11 * g11_) + s_r2)
+        z00 = s00 + q00
+        z01 = s01 + q01
+        z11 = s11 + q11
+        z_det = jnp.maximum(z00 * z11 - z01 * z01, 1e-30)
+        zi = 1.0 / z_det
+        maha = (z11 * nu_r * nu_r - 2.0 * z01 * nu_r * nu_b
+                + z00 * nu_b * nu_b) * zi
+        log_ev = -0.5 * (maha + jnp.log(z_det)) - _LOG_TWO_PI
+        logw_add = jnp.where(use, logw_add + log_ev, logw_add)
 
     return (lam00, lam01, lam02, lam11, lam12, lam22, e0a, e1a, e2a, logw_add)
 
@@ -932,6 +936,7 @@ def _fused_fs2_kernel(
     gate: float,
     meas_noise: float,
     default_cov: float,
+    evidence_weights: bool,
 ):
     """One FastSLAM 2.0 tick on a particle tile, planes VMEM-resident:
 
@@ -979,12 +984,14 @@ def _fused_fs2_kernel(
             (z_ref[m, 0], z_ref[m, 1], z_ref[m, 2], z_ref[m, 3],
              zvalid_ref[m, 0] > 0),
             slot=slot, gate=gate, meas_noise=meas_noise,
+            evidence=evidence_weights,
         )
 
     acc = jax.lax.fori_loop(0, mtrip, _accum_body, acc)
     lam = acc[:6]
     eta = acc[6:9]
-    logw = logw + acc[9]
+    if evidence_weights:
+        logw = logw + acc[9]
 
     new_x, new_y, new_yaw = _solve_sample_pose(
         lam, eta, (px, py, yaw),
@@ -1000,7 +1007,7 @@ def _fused_fs2_kernel(
              zvalid_ref[m, 0] > 0),
             slot=slot, gate=gate, meas_noise=meas_noise,
             default_cov=default_cov, parity=False, assoc_bf16=False,
-            skip_ekf=False, weight_update=False, sym=True,
+            skip_ekf=False, weight_update=not evidence_weights, sym=True,
         )
 
     mx, my, ca, cb, cd, detp, cnt, logw = jax.lax.fori_loop(
@@ -1075,6 +1082,7 @@ def fused_fs2_planes(
         gate=float(config.max_landmark_distance),
         meas_noise=float(config.measurement_noise),
         default_cov=float(config.default_landmark_cov),
+       evidence_weights=bool(config.fs2_evidence_weights),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1464,6 +1472,7 @@ def _fused_fs2_multi_kernel(
     gate: float,
     meas_noise: float,
     default_cov: float,
+    evidence_weights: bool,
 ):
     """C FastSLAM 2.0 ticks on one particle tile, landmark planes
     VMEM-resident throughout (the fs2 analog of :func:`_fused_multi_kernel`).
@@ -1526,10 +1535,12 @@ def _fused_fs2_multi_kernel(
                 (z_ref[zi, 0], z_ref[zi, 1], z_ref[zi, 2], z_ref[zi, 3],
                  zvalid_ref[zi, 0] > 0),
                 slot=slot, gate=gate, meas_noise=meas_noise,
+                evidence=evidence_weights,
             )
 
         acc = jax.lax.fori_loop(0, mtrip, _accum_body, acc)
-        logw = logw + acc[9]
+        if evidence_weights:
+            logw = logw + acc[9]
 
         px, py, yaw = _solve_sample_pose(
             acc[:6], acc[6:9], (px_p, py_p, yaw_p),
@@ -1548,7 +1559,7 @@ def _fused_fs2_multi_kernel(
                  zvalid_ref[zi, 0] > 0),
                 slot=slot, gate=gate, meas_noise=meas_noise,
                 default_cov=default_cov, parity=False, assoc_bf16=False,
-                skip_ekf=False, weight_update=False, sym=True,
+                skip_ekf=False, weight_update=not evidence_weights, sym=True,
             )
 
         mx, my, ca, cb, cd, detp, cnt, logw = jax.lax.fori_loop(
@@ -1637,6 +1648,7 @@ def fused_fs2_planes_multi(
         gate=float(config.max_landmark_distance),
         meas_noise=float(config.measurement_noise),
         default_cov=float(config.default_landmark_cov),
+       evidence_weights=bool(config.fs2_evidence_weights),
     )
 
     out_shapes = (
