@@ -174,6 +174,16 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     args = ap.parse_args()
 
+    # 8 virtual-device collectives on a 2-core box: any co-tenant load can
+    # starve a device thread past XLA's default 20 s/40 s rendezvous
+    # timeouts, which kills the whole process mid-optimize.  Raise them —
+    # slow is fine here, dead is not.
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
