@@ -314,6 +314,7 @@ def build_pose_graph(
     measurements: Sequence[np.ndarray],
     *,
     measurement_ids: Sequence[np.ndarray] | None = None,
+    association_poses: np.ndarray | None = None,
     session_boundaries: Sequence[int] = (),
     association_gate: float = 0.8,
     association: str = "auto",
@@ -336,6 +337,15 @@ def build_pose_graph(
         they share a track id — instead of greedy world-frame clustering,
         which makes loop closures immune to accumulated drift (the tracker
         established identity frame-to-frame when drift was still tiny).
+      association_poses: optional ``[K, 3]`` trajectory used ONLY for the
+        world-frame clustering projection — typically the output of
+        :func:`~fastslam_tpu.backend.alignment.consensus_align`, whose
+        drift-corrected frame lets a tight gate merge temporally-distant
+        same-landmark observations that would split at the drifted input
+        poses.  Odometry factors, graph poses, and landmark initialization
+        all still come from ``keyframe_poses`` (landmark positions are
+        re-projected from them), so the optimizer starts from the honest
+        drifted state with the corrected *identities*.
       session_boundaries: keyframe indices where a NEW session starts (for
         multi-session joint refinement): the odometry factor spanning each
         boundary is invalidated, so independent trajectories are linked only
@@ -381,9 +391,22 @@ def build_pose_graph(
             kf, all_kf, all_rb, all_tid, max_landmarks
         )
     else:
+        assoc_kf = (kf if association_poses is None
+                    else np.asarray(association_poses, np.float64))
         landmarks, lm_ids, kept = _associate(
-            kf, all_kf, all_rb, association_gate, max_landmarks, association
+            assoc_kf, all_kf, all_rb, association_gate, max_landmarks,
+            association
         )
+        if association_poses is not None and len(landmarks):
+            # identities came from the corrected frame; re-project landmark
+            # inits from the REAL keyframe poses so the initial state is
+            # internally consistent (drifted poses + drifted landmarks)
+            n_lm0 = len(landmarks)
+            w = _world_project(kf, all_kf[kept], all_rb[kept])
+            sums = np.zeros((n_lm0, 2))
+            np.add.at(sums, lm_ids[kept], w)
+            cnt = np.bincount(lm_ids[kept], minlength=n_lm0).astype(float)
+            landmarks = sums / np.maximum(cnt, 1.0)[:, None]
     obs_kf = all_kf[kept]
     obs_lm = lm_ids[kept]
     obs_rb = all_rb[kept]

@@ -70,6 +70,37 @@ def ate_rmse(gt_xy: np.ndarray, est_xy: np.ndarray) -> float:
     return float(np.sqrt(np.mean(np.sum(err * err, axis=-1))))
 
 
+def align_se2(gt_xy: np.ndarray, est_xy: np.ndarray) -> np.ndarray:
+    """Best-fit SE(2) transform (Horn/Umeyama closed form: rotation +
+    translation, no scale) carrying ``est_xy`` onto ``gt_xy``; returns the
+    transformed estimate.
+
+    Standard ATE practice for SLAM backends: a pose graph's gauge freedom
+    (anchored at one keyframe, global rotation constrained only by that
+    anchor's heading prior) leaves a globally-rotated-but-internally-exact
+    solution, and the raw shared-frame error then measures the gauge, not
+    the map (at a 4 km survey a 1 mrad anchor slack is ~4 m at the far
+    end).  Filter-path metrics keep the raw shared-frame convention.
+    """
+    gt = np.asarray(gt_xy, float)
+    est = np.asarray(est_xy, float)
+    mu_g = gt.mean(axis=0)
+    mu_e = est.mean(axis=0)
+    a = est - mu_e
+    b = gt - mu_g
+    cos_acc = float((a * b).sum())
+    sin_acc = float((a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]).sum())
+    th = np.arctan2(sin_acc, cos_acc)
+    c, s = np.cos(th), np.sin(th)
+    rot = np.array([[c, -s], [s, c]])
+    return a @ rot.T + mu_g
+
+
+def ate_rmse_aligned(gt_xy: np.ndarray, est_xy: np.ndarray) -> float:
+    """ATE RMSE after best-fit SE(2) alignment (see :func:`align_se2`)."""
+    return ate_rmse(gt_xy, align_se2(gt_xy, est_xy))
+
+
 def trajectory_metrics(gt_poses: np.ndarray, est_poses: np.ndarray) -> dict:
     """Summary metrics over a full run ([T, 3] arrays)."""
     gt = np.asarray(gt_poses, float)

@@ -27,10 +27,14 @@ RESULTS = os.path.join(os.path.dirname(__file__), "..", "eval_results")
 
 
 def survey_world_chunked(n_landmarks, k=256, spacing=4.0, sigma_xy=0.05,
-                         sigma_th=0.001, seed=0, chunk=50_000):
+                         sigma_th=0.001, seed=0):
     """Serpentine survey like tests/test_backend_scale.survey_world, with the
-    landmark->nearest-keyframes search CHUNKED so the [n, k] distance matrix
-    never materializes (at n=1M, k=256 it would be 2 GB).
+    landmark->nearest-keyframes search done by GRID LOOKUP: keyframes sit on
+    a regular rows x cols lattice, so each landmark's two nearest keyframes
+    are among the 3x3 lattice neighborhood of its grid cell — 9 candidate
+    distances per landmark instead of k (the round-3 O(n*k) chunked scan
+    took 122 s at 1M landmarks / 1024 keyframes; this takes ~1 s and is
+    exact for a lattice).
 
     Landmarks sit on a JITTERED GRID (``spacing`` ± spacing/4), which
     guarantees >= spacing/2 separation between distinct landmarks — so an
@@ -64,11 +68,32 @@ def survey_world_chunked(n_landmarks, k=256, spacing=4.0, sigma_xy=0.05,
                                indexing="ij"), axis=-1).reshape(-1, 2)
     lms = (gxy[:n_landmarks] * spacing + spacing / 2
            + rng.uniform(-spacing / 4, spacing / 4, (n_landmarks, 2)))
-    nearest2 = np.empty((n_landmarks, 2), np.int64)
-    for s in range(0, n_landmarks, chunk):
-        blk = lms[s: s + chunk]
-        d2 = ((blk[:, None, :] - gt[None, :, :2]) ** 2).sum(-1)
-        nearest2[s: s + chunk] = np.argpartition(d2, 2, axis=1)[:, :2]
+    # lattice coordinates of each landmark's containing keyframe cell; the
+    # serpentine flips column order on odd rows, so map (row, col) back to
+    # the keyframe index through the flip
+    col_dx = field / max(cols - 1, 1)
+    row_dy = field / max(rows - 1, 1)
+    r0 = np.clip(np.round(lms[:, 1] / row_dy).astype(np.int64), 0, rows - 1)
+    c0 = np.clip(np.round(lms[:, 0] / col_dx).astype(np.int64), 0, cols - 1)
+    cand_d2 = np.full((n_landmarks, 9), np.inf)
+    cand_idx = np.zeros((n_landmarks, 9), np.int64)
+    col = 0
+    for orr in (-1, 0, 1):
+        for oc in (-1, 0, 1):
+            rr = r0 + orr
+            cc = c0 + oc
+            ok = (rr >= 0) & (rr < rows) & (cc >= 0) & (cc < cols)
+            rr_c = np.clip(rr, 0, rows - 1)
+            cc_c = np.clip(cc, 0, cols - 1)
+            cc_serp = np.where(rr_c % 2 == 1, cols - 1 - cc_c, cc_c)
+            idx = rr_c * cols + cc_serp
+            d2 = ((lms[:, 0] - gt[idx, 0]) ** 2
+                  + (lms[:, 1] - gt[idx, 1]) ** 2)
+            cand_d2[:, col] = np.where(ok, d2, np.inf)
+            cand_idx[:, col] = idx
+            col += 1
+    two = np.argpartition(cand_d2, 2, axis=1)[:, :2]
+    nearest2 = np.take_along_axis(cand_idx, two, axis=1)
 
     kf_idx = nearest2.reshape(-1)
     lm_idx = np.repeat(np.arange(n_landmarks), 2)
@@ -92,11 +117,12 @@ def survey_world_chunked(n_landmarks, k=256, spacing=4.0, sigma_xy=0.05,
     return noisy, obs, gt, field
 
 
-def run(n_landmarks=1_000_000, k=256, iters=4, n_devices=8,
+def run(n_landmarks=1_000_000, k=256, iters=8, n_devices=8,
         lm_capacity=1 << 21, factor_capacity=1 << 23):
     import jax
     from jax.sharding import Mesh
 
+    from fastslam_tpu.backend.alignment import consensus_align
     from fastslam_tpu.backend.builder import build_pose_graph
     from fastslam_tpu.backend.distributed import (
         optimize_sharded, shard_pose_graph,
@@ -111,17 +137,26 @@ def run(n_landmarks=1_000_000, k=256, iters=4, n_devices=8,
     mesh = Mesh(devs, ("map",))
 
     t0 = time.monotonic()
-    # grid spacing 4 m -> distinct landmarks >= 2 m apart; gate 1.0 merges
-    # same-landmark observation pairs (cross-row relative drift
-    # ~sigma_xy*sqrt(<=64 steps) ~ 0.4 m) while never crossing the 2 m
-    # distinct-landmark floor -> the graph keeps its loop closures
     noisy, obs, gt, field = survey_world_chunked(n_landmarks, k=k,
                                                  sigma_xy=0.05, seed=1)
     world_s = time.monotonic() - t0
 
+    # Drift (up to ~1.6 m relative between cross-row keyframe pairs) vs a
+    # 2 m distinct-landmark floor: no fixed gate both merges same-landmark
+    # pairs and keeps distinct ones apart (the round-3 run plateaued at a
+    # ~45% merge rate at gate 1.0).  Consensus alignment estimates the
+    # per-keyframe drift from pairwise observation-cloud registration, so
+    # association runs at the corrected poses with a TIGHT gate; the graph
+    # itself still starts from the honest drifted trajectory
+    # (association_poses re-projects landmark inits from it).
+    t0 = time.monotonic()
+    aligned, ainfo = consensus_align(noisy, obs, sigma_xy=0.05,
+                                     sigma_theta=0.001)
+    align_s = time.monotonic() - t0
+
     t0 = time.monotonic()
     g = build_pose_graph(
-        noisy, obs, association_gate=1.0,
+        noisy, obs, association_poses=aligned, association_gate=0.5,
         max_landmarks=lm_capacity, max_factors=factor_capacity,
         obs_sigma_r=0.05, obs_sigma_b=0.01,
         odo_sigma_xy=0.2, odo_sigma_theta=0.05,
@@ -139,10 +174,22 @@ def run(n_landmarks=1_000_000, k=256, iters=4, n_devices=8,
     jax.block_until_ready(poses)
     opt_s = time.monotonic() - t0
 
-    before = np.linalg.norm(np.asarray(g.poses)[:, :2] - gt[:, :2],
-                            axis=1).mean()
-    after = np.linalg.norm(np.asarray(poses)[:, :2] - gt[:, :2],
-                           axis=1).mean()
+    from fastslam_tpu.eval.metrics import align_se2
+
+    # keyframe error BOTH raw (shared frame) and gauge-aligned (standard
+    # backend ATE: best-fit SE(2), eval/metrics.align_se2) — at a ~4 km
+    # field the anchor's 1 mrad heading slack alone is metres of raw error
+    # at the far end, all gauge, none of it map inconsistency
+    mean_err = lambda est: float(
+        np.linalg.norm(np.asarray(est)[:, :2] - gt[:, :2], axis=1).mean())
+    mean_err_aligned = lambda est: float(np.linalg.norm(
+        align_se2(gt[:, :2], np.asarray(est)[:, :2]) - gt[:, :2],
+        axis=1).mean())
+    before = mean_err(g.poses)
+    before_al = mean_err_aligned(g.poses)
+    aligned_err = mean_err(aligned)
+    after = mean_err(poses)
+    after_al = mean_err_aligned(poses)
     peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
     return {
@@ -155,13 +202,18 @@ def run(n_landmarks=1_000_000, k=256, iters=4, n_devices=8,
         "keyframes": int(np.asarray(g.poses).shape[0]),
         "n_devices": n_devices,
         "world_gen_seconds": round(world_s, 2),
+        "align_seconds": round(align_s, 2),
+        "align_pairs_registered": ainfo["n_registered_pairs"],
         "build_seconds": round(build_s, 2),
         "optimize_seconds": round(opt_s, 2),
         "optimize_iters": iters,
         "total_error_before": err0,
         "total_error_after": float(err),
-        "mean_keyframe_error_before_m": float(before),
-        "mean_keyframe_error_after_m": float(after),
+        "mean_keyframe_error_before_m": before,
+        "mean_keyframe_error_before_gauge_aligned_m": before_al,
+        "mean_keyframe_error_consensus_m": aligned_err,
+        "mean_keyframe_error_after_m": after,
+        "mean_keyframe_error_after_gauge_aligned_m": after_al,
         "peak_rss_gb": round(peak_rss_gb, 2),
     }
 
@@ -170,7 +222,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--landmarks", type=int, default=1_100_000)
     ap.add_argument("--keyframes", type=int, default=1024)
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--devices", type=int, default=8)
     args = ap.parse_args()
 
@@ -198,6 +250,20 @@ def main():
     assert out["dropped_factors"] == 0, "factors dropped — raise capacity"
     assert out["n_landmarks_built"] >= 1_000_000 or \
         args.landmarks < 1_000_000
+    # loop closures must actually have merged: landmark count within a few
+    # percent of the true count (every true landmark was observed twice; a
+    # split pair inflates the count, a false merge deflates it)
+    assert abs(out["n_landmarks_built"] - args.landmarks) \
+        <= 0.03 * args.landmarks, out["n_landmarks_built"]
+    # ...and the optimizer must actually close them: same 0.6x bar as the
+    # 110k mesh test (tests/test_backend_scale.py), not a bare "any
+    # epsilon".  Gauge-aligned on both sides (standard backend ATE): at
+    # this field size the raw frame measures the anchor's free global
+    # rotation, not map consistency — see eval/metrics.align_se2.
+    assert out["mean_keyframe_error_after_gauge_aligned_m"] \
+        < 0.6 * out["mean_keyframe_error_before_gauge_aligned_m"], (
+        out["mean_keyframe_error_before_gauge_aligned_m"],
+        out["mean_keyframe_error_after_gauge_aligned_m"])
     assert out["total_error_after"] < out["total_error_before"]
 
 

@@ -155,10 +155,16 @@ def test_optimize_100k_landmarks_on_mesh(mesh):
 
 @pytest.mark.slow
 def test_build_and_optimize_1m_landmarks(mesh):
-    """BASELINE config #5 at full scale: >=1M landmarks built by the grid
-    hash and optimized by the SPARSE factor-pair Schur backend on the
-    8-device mesh (the dense [K, L] assembly OOMs here by design — see
-    pose_graph.landmark_system_sparse).  Evidence run with timings/memory:
+    """BASELINE config #5 at full scale: >=1M landmarks, consensus-aligned
+    association (backend.alignment — relative drift between cross-row
+    keyframe pairs exceeds any safe fixed gate, so the builder must merge
+    at the drift-corrected poses), built by the grid hash, and optimized
+    by the SPARSE factor-pair Schur backend on the 8-device mesh from the
+    honest DRIFTED initial state (the dense [K, L] assembly OOMs here by
+    design — see pose_graph.landmark_system_sparse).  Bars: merged landmark
+    count within 3% of the true count (loop closures exist) and the same
+    ``after < 0.6 * before`` keyframe-error bar as the 110k test (loop
+    closures actually close).  Evidence run with timings/memory:
     scripts/bench_backend_1m.py -> eval_results/backend_1m.json."""
     import os
     import sys
@@ -167,15 +173,16 @@ def test_build_and_optimize_1m_landmarks(mesh):
                                     "scripts"))
     from bench_backend_1m import survey_world_chunked
 
-    from fastslam_tpu.backend.distributed import optimize_sharded
+    from fastslam_tpu.backend.alignment import consensus_align
 
     n = 1_100_000
-    field = 600.0 * float(np.sqrt(n / 110_000.0))
-    noisy, obs, gt = survey_world_chunked(n, k=1024, field=field,
-                                          sigma_xy=0.08, seed=1)
+    noisy, obs, gt, _field = survey_world_chunked(n, k=1024, sigma_xy=0.05,
+                                                  seed=1)
     t0 = time.monotonic()
+    aligned, _ainfo = consensus_align(noisy, obs, sigma_xy=0.05,
+                                      sigma_theta=0.001)
     g = build_pose_graph(
-        noisy, obs, association_gate=0.5,
+        noisy, obs, association_poses=aligned, association_gate=0.5,
         max_landmarks=1 << 21, max_factors=1 << 23,
         obs_sigma_r=0.05, obs_sigma_b=0.01,
         odo_sigma_xy=0.2, odo_sigma_theta=0.05,
@@ -183,11 +190,23 @@ def test_build_and_optimize_1m_landmarks(mesh):
     build_s = time.monotonic() - t0
     n_lm = int(np.asarray(g.lm_valid).sum())
     assert n_lm >= 1_000_000, n_lm
-    assert build_s < 120.0, f"1M build took {build_s:.0f}s"
+    assert abs(n_lm - n) <= 0.03 * n, f"merge rate off: {n_lm} vs {n}"
+    assert build_s < 300.0, f"1M align+build took {build_s:.0f}s"
 
     g8, dropped = shard_pose_graph(g, 8)
     assert dropped == 0
     err0 = float(total_error(g8.poses, g8.landmarks, g8))
-    poses, landmarks, err = optimize_sharded(g, mesh, num_iters=2,
+    poses, landmarks, err = optimize_sharded(g, mesh, num_iters=6,
                                              damping=1e-3)
     assert np.isfinite(err) and err < err0
+    # gauge-aligned on both sides (standard backend ATE): at a ~4 km field
+    # the anchor's ~1 mrad heading slack alone is metres of raw far-end
+    # error — all gauge, none of it map error (eval/metrics.align_se2)
+    from fastslam_tpu.eval.metrics import align_se2
+
+    mean_err = lambda est: np.linalg.norm(
+        align_se2(gt[:, :2], np.asarray(est)[:, :2]) - gt[:, :2],
+        axis=1).mean()
+    before = mean_err(g.poses)
+    after = mean_err(poses)
+    assert after < 0.6 * before, f"{before:.4f} -> {after:.4f}"
