@@ -109,6 +109,7 @@ class SLAMRunner:
         self._floor_xy = config.proposal_xy_floor
         self._floor_th = config.proposal_theta_floor
         self._blend_xy = 0.0
+        self._dial = 0.0 if self._adaptive_floors else 1.0
         self._prev_cmd = (0.0, 0.0)
         self._prev_se2 = (0.0, 0.0, 0.0)
         if self._adaptive_floors:
@@ -117,8 +118,10 @@ class SLAMRunner:
             self._floor_est = OnlineFloorEstimator(config)
         if self.uses_planes and self._adaptive_floors:
             self._step = jax.jit(
-                lambda st, rot, trans, ms, fxy, fth: kernels.fastslam_step_planes(
-                    st, rot, trans, ms, config, proposal_floors=(fxy, fth)
+                lambda st, rot, trans, ms, fxy, fth, g:
+                kernels.fastslam_step_planes(
+                    st, rot, trans, ms, config, proposal_floors=(fxy, fth),
+                    evidence_scale=g,
                 ),
                 donate_argnums=0,
             )
@@ -130,11 +133,12 @@ class SLAMRunner:
                 donate_argnums=0,
             )
         elif self._adaptive_floors:
-            # floors ride as TRACED scalars so per-tick adaptation does not
-            # trigger recompilation
+            # floors + mode dial ride as TRACED scalars so per-tick
+            # adaptation does not trigger recompilation
             self._step = jax.jit(
-                lambda st, rot, trans, ms, fxy, fth: kernels.fastslam_step(
-                    st, rot, trans, ms, config, proposal_floors=(fxy, fth)
+                lambda st, rot, trans, ms, fxy, fth, g: kernels.fastslam_step(
+                    st, rot, trans, ms, config, proposal_floors=(fxy, fth),
+                    evidence_scale=g,
                 )
             )
         else:
@@ -260,11 +264,18 @@ class SLAMRunner:
                 kw.update(d_ang=float(d_ang[0]), d_t2=float(d_t2[0]))
             self._prev_se2 = (ang, float(t_comp[0]), float(t_comp[1]))
             self._prev_cmd = (float(rotation), float(translation))
-            a_t = self._blend_xy  # previous ticks' estimate (causal)
+            # blend for THIS tick's odometry: read BEFORE pushing this
+            # tick's residual (causal — the residual measures the very
+            # match being blended) but with this tick's OWN type k (the
+            # previous tick's estimate carried the other type's blend at
+            # every type boundary — advisor round 3)
+            a_t = self._floor_est.read(k)[2]
             a_r = 0.0             # rotation never blended (adaptive.py)
-            fxy, fth, a_xy, _a_th, _diag = self._floor_est.update(k, **kw)
+            self._floor_est.push(k, **kw)
+            fxy, fth, a_xy, _a_th, dial, _diag = self._floor_est.read(k)
             self._floor_xy, self._floor_th = fxy, fth
             self._blend_xy = a_xy
+            self._dial = dial
         else:
             self._prev_cmd = (float(rotation), float(translation))
             a_r = a_t = self.config.icp_blend
@@ -315,7 +326,8 @@ class SLAMRunner:
 
         def fused(state, tracks, pts, valid, prev_pts, prev_valid,
                   prev2_pts, prev2_valid, rotation, translation,
-                  rot_prev, trans_prev, v_active, has_prev, fxy, fth, a_xy):
+                  rot_prev, trans_prev, v_active, has_prev, fxy, fth, a_xy,
+                  dial):
             rotation = jnp.float32(rotation)
             translation = jnp.float32(translation)
             ang = jnp.float32(0.0)
@@ -384,7 +396,8 @@ class SLAMRunner:
                 ms = scan_to_measurements(pts, valid, config)
             if floors_on:
                 state, est = step_fn(state, rotation, translation, ms,
-                                     config, proposal_floors=(fxy, fth))
+                                     config, proposal_floors=(fxy, fth),
+                                     evidence_scale=dial)
             else:
                 state, est = step_fn(state, rotation, translation, ms, config)
             n_meas = jnp.sum(ms.valid).astype(jnp.float32)
@@ -423,6 +436,18 @@ class SLAMRunner:
         tracks = self._tracks if self.config.track_corners else None
         rot_prev, trans_prev = self._prev_cmd
         self._prev_cmd = (float(rotation), float(translation))
+        k = int(v != 0)
+        if self._adaptive_floors:
+            # floors/blend/dial for THIS tick: residuals through tick t-1
+            # (the unavoidable one-tick data lag of the fused dispatch) but
+            # read at tick t's OWN type — with the previous combined
+            # update, every type transition traced the OTHER type's floors
+            # (e.g. entering each turn at the translation type's fully
+            # annealed theta floor — advisor round 3)
+            fxy, fth, a_xy, _a_th, dial, _diag = self._floor_est.read(k)
+            self._floor_xy, self._floor_th = fxy, fth
+            self._blend_xy = a_xy
+            self._dial = dial
         self.state, tracks, out = self._fused(
             self.state, tracks, pts, vld, prev_pts, prev_valid,
             prev2_pts, prev2_valid,
@@ -430,18 +455,17 @@ class SLAMRunner:
             np.float32(rot_prev), np.float32(trans_prev),
             bool(v != 0), bool(has_prev),
             np.float32(self._floor_xy), np.float32(self._floor_th),
-            np.float32(self._blend_xy),
+            np.float32(self._blend_xy), np.float32(self._dial),
         )
         if self.config.track_corners:
             self._tracks = tracks
         out = np.asarray(out)
         self._last_num_measurements = int(out[5])
         if self._adaptive_floors:
-            # feed the estimator this tick's residuals; its outputs become
-            # the floors/blend TRACED into the next tick
+            # feed the estimator this tick's residuals; the NEXT tick reads
+            # floors/blend/dial at its own type before dispatch
             from fastslam_tpu.proposal import adaptive
             ang, tx, ty = float(out[8]), float(out[9]), float(out[10])
-            k = int(v != 0)
             kw = {}
             if has_prev:
                 sr, al, la = adaptive.se2_residuals(
@@ -462,9 +486,7 @@ class SLAMRunner:
                 )
                 kw.update(d_ang=float(d_ang[0]), d_t2=float(d_t2[0]))
             self._prev_se2 = (ang, tx, ty)
-            fxy, fth, a_xy, _a_th, _diag = self._floor_est.update(k, **kw)
-            self._floor_xy, self._floor_th = fxy, fth
-            self._blend_xy = a_xy
+            self._floor_est.push(k, **kw)
 
         if self.iteration < self.config.warmup_iterations:
             rot_u, trans_u = float(out[3]), float(out[4])
@@ -497,6 +519,7 @@ class SLAMRunner:
             self.state, est = self._step(
                 self.state, jnp.float32(rotation), jnp.float32(translation),
                 ms, jnp.float32(self._floor_xy), jnp.float32(self._floor_th),
+                jnp.float32(self._dial),
             )
         else:
             self.state, est = self._step(
@@ -767,7 +790,7 @@ def replay_chunked(
     # cheap host recurrence over the resulting residuals — the adaptive
     # stack needs no per-tick host loop after all.  Per-tick floor vectors
     # then feed the chunked fs2 kernel ([C] prior rows per invocation).
-    floors_xy = floors_th = None
+    floors_xy = floors_th = dial_sched = None
     if config.use_icp_proposal:
         from fastslam_tpu.proposal import adaptive
         from fastslam_tpu.proposal.icp import icp_point_to_line, rotate_points
@@ -843,6 +866,7 @@ def replay_chunked(
             sched = adaptive.floor_schedule(
                 sr_th, sr_al, lat, d_ang, d_t2, v_active, config)
             floors_xy, floors_th = sched.floors_xy, sched.floors_th
+            dial_sched = sched.dial
             a_r, a_t = sched.blend_th, sched.blend_xy
             # no debias: translation ICP is unbiased (measured), rotation
             # is never blended (adaptive.py rationale) — subtracting a
@@ -867,13 +891,13 @@ def replay_chunked(
     adaptive = floors_xy is not None
     if n_chunks:
         if adaptive:
-            # per-tick [C] floor rows feed the fs2 prior for each tick of
-            # the chunk (fs2_prior_scalars broadcasts [C] floors)
+            # per-tick [C] floor + mode-dial rows feed the fs2 prior for
+            # each tick of the chunk (fs2_prior_scalars broadcasts [C])
             def chunk_body(s, inp):
-                r, tr, z, zv, fxy, fth = inp
+                r, tr, z, zv, fxy, fth, g = inp
                 s, e = kernels.fastslam_steps_planes_chunked(
                     s, r, tr, Measurements(z, zv), config,
-                    proposal_floors=(fxy, fth),
+                    proposal_floors=(fxy, fth), evidence_scale=g,
                 )
                 return s, e
         else:
@@ -897,16 +921,18 @@ def replay_chunked(
         ]
         if adaptive:
             xs += [jnp.asarray(floors_xy[:m].reshape(n_chunks, c)),
-                   jnp.asarray(floors_th[:m].reshape(n_chunks, c))]
+                   jnp.asarray(floors_th[:m].reshape(n_chunks, c)),
+                   jnp.asarray(dial_sched[:m].reshape(n_chunks, c))]
         state, est_c = run_chunks(state, *xs)
         est[:m] = np.asarray(est_c).reshape(m, 3)
 
     if t_total % c:
         if adaptive:
             tick_step = jax.jit(
-                lambda s, r, tr, z, zv, fxy, fth: kernels.fastslam_step_planes(
+                lambda s, r, tr, z, zv, fxy, fth, g:
+                kernels.fastslam_step_planes(
                     s, r, tr, Measurements(z, zv), config,
-                    proposal_floors=(fxy, fth),
+                    proposal_floors=(fxy, fth), evidence_scale=g,
                 ),
                 donate_argnums=0,
             )
@@ -918,7 +944,8 @@ def replay_chunked(
                 donate_argnums=0,
             )
         for t in range(c * n_chunks, t_total):
-            extra = ((jnp.float32(floors_xy[t]), jnp.float32(floors_th[t]))
+            extra = ((jnp.float32(floors_xy[t]), jnp.float32(floors_th[t]),
+                      jnp.float32(dial_sched[t]))
                      if adaptive else ())
             state, e = tick_step(
                 state, jnp.float32(rots[t]), jnp.float32(trans[t]),

@@ -132,14 +132,8 @@ class FastSLAMConfig:
     # odometry error" problem above without a priori knowledge: clean
     # odometry anneals the floors tight, wheel slip opens them up.
     adaptive_proposal_floors: bool = False
-    floor_residual_ema: float = 0.1       # EMA weight of the newest residual
     proposal_floor_min: float = 5e-4
     proposal_floor_max: float = 0.05
-    # winsorization cap on each squared residual sample, as a multiple of
-    # the current (m + q) moment estimate — ICP failures are heavy-tailed
-    # and one outlier must not whip an annealed floor open (the in-jit
-    # fused-tick EMA recurrence); ~2-sigma for a chi^2_1 sample
-    floor_residual_winsor: float = 4.0
     # trailing median window (ticks, per tick type) for the batched
     # proposal/adaptive.floor_schedule moment estimates
     floor_window: int = 40
@@ -148,14 +142,58 @@ class FastSLAMConfig:
     # at worst comparable to scan-match accuracy and blending only hurts
     # (proposal/adaptive.py gate rationale)
     blend_min_sigma: float = 0.008
+    # fs2 proposal MODE DIAL (adaptive stack only): trace a scalar g in
+    # [0, 1] into the kernel that scales every measurement's Lambda/eta
+    # contribution to the proposal, interpolating continuously between the
+    # reference's motion-only sampling (0) and the fully
+    # measurement-informed fs2 posterior (1).  The estimator ramps g from
+    # the DATA-driven estimated command error per component: near-exact
+    # commands -> motion-like proposal (conditioning the pose on noisy
+    # landmarks only costs accuracy on clean logs), slip -> full fs2.
+    # Importance weights are never scaled.
+    fs2_mode_dial: bool = True
+    # ramp thresholds on the estimator's own output FLOORS (m for xy, rad
+    # for theta — same ramp: the scales coincide here): floors at the
+    # annealed clean level (~5e-4-1e-3) -> g=0 (motion proposal); floors at
+    # the startup/turn-transient prior or slip level (>= ~4e-3) -> g=1
+    # (full fs2).  Rationale in adaptive.OnlineFloorEstimator.read.
+    fs2_dial_lo_floor: float = 1.5e-3
+    fs2_dial_hi_floor: float = 4e-3
+    # per-tick-type prior-shrinkage horizon: the floor mixes the config
+    # prior with the data moments until the type has this many residual
+    # samples.  Small = fast annealing (the median windows react to real
+    # slip within ~1-2 samples anyway, and every transient tick at a wide
+    # floor costs clean-log accuracy); large = longer protection against a
+    # slip regime the type has never sampled.  Measured (3 seeds, N=1000,
+    # clean/slip): (8, 0.01-prior) 0.029/0.080 -> (2, 0.002-prior)
+    # 0.0198/0.0684 vs motion-only 0.0141/0.1439 — the fast-annealing
+    # setting reaches 1.4x motion on clean while keeping the 2.1x slip win
+    # (slip-from-tick-0 still detected: one slipped sample moves a 1-2
+    # sample median immediately).
+    floor_prior_ticks: int = 2
+    # the odometry-error sigma the ESTIMATOR assumes before a tick type has
+    # samples (the floor's config prior).  Separate from the static-path
+    # proposal floors: the static fs2 floor doubles as a standing noise
+    # budget (0.01 wins under un-estimated slip), while this prior only
+    # covers the first floor_prior_ticks samples per type — wide enough to
+    # survive slip-from-tick-0 until the windows see it, tight enough not
+    # to burn the clean-log transient.
+    floor_prior_sigma_xy: float = 0.002
+    floor_prior_sigma_theta: float = 0.002
     # fs2 importance-weight source.  False (default): bootstrap-style
     # landmark likelihood at the SAMPLED pose — measured better in BOTH
     # regimes (clean N=1024: 0.0155 vs 0.0200; slip with the adaptive
     # stack: 0.052 vs 0.062): the theoretically-exact evidence
     # N(nu; 0, S~ + Hx P Hx') is evaluated at the PREDICTED pose with
     # linearized, chi2-gated innovations, and those approximations cost
-    # more than the lower-variance weights buy.  True restores the
-    # textbook evidence weighting.
+    # more than the lower-variance weights buy.  NOTE this default is a
+    # deliberate, measured approximation, NOT a valid importance weight for
+    # the fs2 proposal (the exact weight is likelihood*prior/proposal;
+    # likelihood-only is exact only for the bootstrap/motion proposal, so
+    # the weighted posterior is biased toward the proposal — it matches
+    # the reference's likelihood-only weighting, fast_slam_2.py:158).  If a
+    # weight-dependent quantity (Neff, resampling) regresses under fs2,
+    # suspect this first.  True restores the textbook evidence weighting.
     fs2_evidence_weights: bool = False
 
     # ---- motion / app loop ----

@@ -386,6 +386,7 @@ def fastslam2_propose(
     config: FastSLAMConfig,
     xy_floor: jax.Array | None = None,
     theta_floor: jax.Array | None = None,
+    evidence_scale: jax.Array | None = None,
 ) -> Tuple[FilterState, jax.Array]:
     """Sample particle poses from the measurement-informed posterior.
 
@@ -413,6 +414,14 @@ def fastslam2_propose(
       xy_floor/theta_floor: optional TRACED overrides of the config floors —
         the adaptive-floor path feeds the online ICP-vs-command residual
         estimate here without recompiling (config floors are static).
+      evidence_scale: optional TRACED proposal MODE DIAL in [0, 1]: scales
+        every measurement's Lambda/eta contribution, so the sampled
+        proposal interpolates continuously between the pure motion prior
+        (0 — the reference's behavior, optimal when commands are
+        near-exact) and the fully measurement-informed fs2 posterior (1 —
+        wins when odometry lies, e.g. wheel slip).  The adaptive estimator
+        drives it from the estimated command error
+        (proposal/adaptive.OnlineFloorEstimator).  Weights are NOT scaled.
 
     Returns ``(state with new poses and updated log-weights, pose_pred)``.
     """
@@ -533,17 +542,19 @@ def fastslam2_propose(
         e2 = t02 * nu_r + t12 * nu_b
 
         usef = use.astype(dt)
+        # mode dial: scale the proposal information only — never the weight
+        luse = usef if evidence_scale is None else usef * evidence_scale
         lam = {
-            "a00": lam["a00"] + usef * d00,
-            "a01": lam["a01"] + usef * d01,
-            "a02": lam["a02"] + usef * d02,
-            "a11": lam["a11"] + usef * d11,
-            "a12": lam["a12"] + usef * d12,
-            "a22": lam["a22"] + usef * d22,
+            "a00": lam["a00"] + luse * d00,
+            "a01": lam["a01"] + luse * d01,
+            "a02": lam["a02"] + luse * d02,
+            "a11": lam["a11"] + luse * d11,
+            "a12": lam["a12"] + luse * d12,
+            "a22": lam["a22"] + luse * d22,
         }
-        eta0 = eta0 + usef * e0
-        eta1 = eta1 + usef * e1
-        eta2 = eta2 + usef * e2
+        eta0 = eta0 + luse * e0
+        eta1 = eta1 + luse * e1
+        eta2 = eta2 + luse * e2
 
         # evidence weight: N(nu; 0, S~ + Hx P0 Hx')  — prior-inflated
         # innovation covariance (project the motion prior through Hx)
@@ -686,13 +697,16 @@ def fastslam_step(
     measurements: Measurements,
     config: FastSLAMConfig,
     proposal_floors: Tuple[jax.Array, jax.Array] | None = None,
+    evidence_scale: jax.Array | None = None,
 ) -> Tuple[FilterState, jax.Array]:
     """One full filter iteration == reference ``FastSLAM2.iterate``
     (``fast_slam_2.py:33-67``): propagate, per-measurement EKF updates,
     normalize, Neff, conditional systematic resampling, pose estimate.
 
     ``proposal_floors`` optionally overrides the fastslam2 proposal's
-    (xy, theta) floors with traced values (adaptive-floor path).
+    (xy, theta) floors with traced values (adaptive-floor path);
+    ``evidence_scale`` is the traced proposal mode dial (see
+    :func:`fastslam2_propose`).
 
     Returns ``(new_state, estimated_pose [3])``.
     """
@@ -708,7 +722,7 @@ def fastslam_step(
         fxy, fth = proposal_floors if proposal_floors is not None else (None, None)
         state, _ = fastslam2_propose(
             state, rotation, translation, measurements, noise, config,
-            xy_floor=fxy, theta_floor=fth,
+            xy_floor=fxy, theta_floor=fth, evidence_scale=evidence_scale,
         )
         state = update_particles(
             state, measurements, config,
@@ -798,6 +812,7 @@ def fastslam_step_planes(
     measurements: Measurements,
     config: FastSLAMConfig,
     proposal_floors: Tuple[jax.Array, jax.Array] | None = None,
+    evidence_scale: jax.Array | None = None,
     *,
     assoc_bf16: bool = False,
     assoc_shadow: bool = False,
@@ -845,6 +860,7 @@ def fastslam_step_planes(
             state.lm_cc, state.lm_cd, state.lm_count,
             measurements.range_bearing, measurements.valid,
             noise, s_t2, s_r2, fxy, config,
+            evidence_scale=evidence_scale,
             interpret=config.pallas_interpret,
         )
         state = state._replace(
@@ -903,6 +919,7 @@ def fastslam_steps_planes_chunked(
     measurements: Measurements,  # range_bearing [C, M, 2], valid [C, M]
     config: FastSLAMConfig,
     proposal_floors: Tuple[jax.Array, jax.Array] | None = None,
+    evidence_scale: jax.Array | None = None,  # [C] per-tick mode dial
     *,
     assoc_bf16: bool = False,
     assoc_shadow: bool = False,
@@ -960,6 +977,7 @@ def fastslam_steps_planes_chunked(
                 state.lm_cc, state.lm_cd, state.lm_count,
                 measurements.range_bearing, measurements.valid,
                 noise, rot_eff, trans_eff, s_t2, s_r2, fxy, config,
+                evidence_scale=evidence_scale,
                 interpret=config.pallas_interpret,
             )
         )

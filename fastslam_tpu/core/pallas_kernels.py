@@ -718,7 +718,7 @@ def fused_update_planes(
 
 def _accumulate_proposal(
     acc, planes, pred_rows, prior_rows, z_scalars, *, slot, gate, meas_noise,
-    evidence=True,
+    evidence=True, scale=None,
 ):
     """One measurement of the FastSLAM 2.0 proposal accumulation on a
     particle tile — the in-kernel mirror of the scan body in
@@ -734,6 +734,14 @@ def _accumulate_proposal(
     pred_rows:  (px, py, yaw, cyaw, syaw) [1, T] PREDICTED-pose rows.
     prior_rows: (p00, p01, p11, s_r2) [1, T] motion-prior covariance rows.
     z_scalars:  (dist_z, bearing_z, cos_b, sin_b, z_ok) SMEM scalars.
+    scale:      optional traced scalar in [0, 1] — the proposal MODE DIAL
+                (kernels.fastslam2_propose ``evidence_scale``): multiplies
+                this measurement's Lambda/eta contribution so the sampled
+                proposal interpolates continuously between the pure motion
+                prior (0, the reference's behavior) and the fully
+                measurement-informed fs2 posterior (1).  The evidence
+                log-weight is NOT scaled — the weight source semantics are
+                unchanged.
     """
     (lam00, lam01, lam02, lam11, lam12, lam22, e0a, e1a, e2a, logw_add) = acc
     mx, my, ca, cb, cd, detp = planes
@@ -828,15 +836,16 @@ def _accumulate_proposal(
     e2 = t02 * nu_r + t12 * nu_b
 
     usef = use.astype(dt)
-    lam00 = lam00 + usef * d00
-    lam01 = lam01 + usef * d01
-    lam02 = lam02 + usef * d02
-    lam11 = lam11 + usef * d11
-    lam12 = lam12 + usef * d12
-    lam22 = lam22 + usef * d22
-    e0a = e0a + usef * e0
-    e1a = e1a + usef * e1
-    e2a = e2a + usef * e2
+    luse = usef if scale is None else usef * scale
+    lam00 = lam00 + luse * d00
+    lam01 = lam01 + luse * d01
+    lam02 = lam02 + luse * d02
+    lam11 = lam11 + luse * d11
+    lam12 = lam12 + luse * d12
+    lam22 = lam22 + luse * d22
+    e0a = e0a + luse * e0
+    e1a = e1a + luse * e1
+    e2a = e2a + luse * e2
 
     if evidence:
         # evidence weight N(nu; 0, S~ + Hx P0 Hx') — motion prior projected
@@ -921,7 +930,7 @@ def _fused_fs2_kernel(
     z_ref,        # [M, 4] SMEM: (distance, bearing, cos(bearing), sin(bearing))
     zvalid_ref,   # [M, 1] SMEM int32
     mlast_ref,    # [1] SMEM int32
-    prior_ref,    # [3] SMEM f32: (s_t2, s_r2, fxy) — traced prior scalars
+    prior_ref,    # [4] SMEM f32: (s_t2, s_r2, fxy, dial) — traced scalars
     # inputs (VMEM)
     px_ref, py_ref, yaw_ref, cy_ref, sy_ref,   # [1, T] PREDICTED pose rows
     logw_in,                                    # [1, T]
@@ -984,7 +993,7 @@ def _fused_fs2_kernel(
             (z_ref[m, 0], z_ref[m, 1], z_ref[m, 2], z_ref[m, 3],
              zvalid_ref[m, 0] > 0),
             slot=slot, gate=gate, meas_noise=meas_noise,
-            evidence=evidence_weights,
+            evidence=evidence_weights, scale=prior_ref[3],
         )
 
     acc = jax.lax.fori_loop(0, mtrip, _accum_body, acc)
@@ -1045,6 +1054,7 @@ def fused_fs2_planes(
     fxy: jax.Array,          # scalar: squared xy floor (lateral prior var)
     config: FastSLAMConfig,
     *,
+    evidence_scale: jax.Array | None = None,
     interpret: bool = False,
 ):
     """Planes-native fused FastSLAM 2.0 tick: measurement-informed proposal +
@@ -1052,7 +1062,9 @@ def fused_fs2_planes(
 
     The caller supplies the deterministic mean-motion ``pred_poses`` (exact
     XLA trig) and the traced prior scalars; everything pose-posterior happens
-    in-kernel.  Returns ``(poses [P, 3], log_weights [P], mx, my, ca, cb,
+    in-kernel.  ``evidence_scale`` is the traced proposal mode dial in
+    [0, 1] (see :func:`_accumulate_proposal`); ``None`` means 1 (full fs2).
+    Returns ``(poses [P, 3], log_weights [P], mx, my, ca, cb,
     cc, cd [L, P], lm_count [P])``.
     """
     l, p = lm_mx.shape
@@ -1106,7 +1118,9 @@ def fused_fs2_planes(
     mlast = jnp.max(
         jnp.where(z_valid, jnp.arange(1, m + 1, dtype=jnp.int32), 0)
     ).reshape(1)
-    prior = jnp.stack([s_t2, s_r2, fxy]).astype(jnp.float32)
+    dial = (jnp.float32(1.0) if evidence_scale is None
+            else jnp.asarray(evidence_scale, jnp.float32))
+    prior = jnp.stack([s_t2, s_r2, fxy, dial]).astype(jnp.float32)
 
     outs = pl.pallas_call(
         kernel,
@@ -1455,7 +1469,7 @@ def _fused_fs2_multi_kernel(
     zvalid_ref,   # [C*M, 1] SMEM int32
     mlast_ref,    # [C] SMEM int32
     motion_ref,   # [C, 4] SMEM f32: (rot_eff, trans_eff, cos_rot, sin_rot)
-    prior_ref,    # [C, 3] SMEM f32: (s_t2, s_r2, fxy)
+    prior_ref,    # [C, 4] SMEM f32: (s_t2, s_r2, fxy, dial)
     # inputs (VMEM)
     px_ref, py_ref, yaw_ref, cy_ref, sy_ref,    # [1, T] initial pose rows
     logw_in,                                     # [1, T]
@@ -1535,7 +1549,7 @@ def _fused_fs2_multi_kernel(
                 (z_ref[zi, 0], z_ref[zi, 1], z_ref[zi, 2], z_ref[zi, 3],
                  zvalid_ref[zi, 0] > 0),
                 slot=slot, gate=gate, meas_noise=meas_noise,
-                evidence=evidence_weights,
+                evidence=evidence_weights, scale=prior_ref[k, 3],
             )
 
         acc = jax.lax.fori_loop(0, mtrip, _accum_body, acc)
@@ -1609,10 +1623,13 @@ def fused_fs2_planes_multi(
     fxy: jax.Array,          # scalar or [C]: squared xy floor
     config: FastSLAMConfig,
     *,
+    evidence_scale: jax.Array | None = None,  # scalar or [C]: mode dial
     interpret: bool = False,
 ):
     """C chunked FastSLAM 2.0 ticks with VMEM-resident landmark planes.
 
+    ``evidence_scale`` is the per-tick proposal mode dial in [0, 1] (see
+    :func:`_accumulate_proposal`); ``None`` means 1 (full fs2).
     Returns ``(tx, ty, tyaw, tlogw [C, P], mx, my, ca, cb, cc, cd [L, P],
     lm_count [P])`` — same contract as :func:`fused_update_planes_multi`.
     """
@@ -1670,8 +1687,11 @@ def fused_fs2_planes_multi(
     motion = jnp.stack(
         [rot_eff, trans_eff, jnp.cos(rot_eff), jnp.sin(rot_eff)], axis=1
     ).astype(jnp.float32)
+    dial = (jnp.ones((c,), jnp.float32) if evidence_scale is None
+            else jnp.broadcast_to(
+                jnp.asarray(evidence_scale, jnp.float32), (c,)))
     prior = jnp.stack(
-        [s_t2, s_r2, jnp.broadcast_to(fxy, (c,))], axis=1
+        [s_t2, s_r2, jnp.broadcast_to(fxy, (c,)), dial], axis=1
     ).astype(jnp.float32)
 
     # per-tick noise: three [Cp, T] component blocks (x, y, theta draws)

@@ -55,6 +55,8 @@ class FloorSchedule(NamedTuple):
     #                         from icp_trs before blending)
     bias_th: np.ndarray     # [T] ICP rotation bias estimate (subtract
     #                         from icp_rots before blending)
+    dial: np.ndarray        # [T] fs2 proposal mode dial in [0, 1]
+    #                         (kernels.fastslam2_propose evidence_scale)
     diag: dict              # moment traces for tests / debugging
 
 
@@ -103,6 +105,12 @@ def consistency_discrepancy(angs, tvecs, dir_ang, dir_t):
 # median of chi^2_1 — scales a median of squared Gaussian samples to the
 # variance
 _CHI2_MED = 0.4549364231195736
+# half the median of chi^2_2 (= ln 2 * 2 / 2): the qw_xy window holds
+# (sigma^2/2) * chi2_2 samples (d_t2 sums the SQUARED discrepancy over both
+# axes, each ~ N(0, 3 sigma^2), pushed as d_t2/6), so the per-axis variance
+# is median / (chi2_2_med / 2).  Scaling by the chi2_1 median instead
+# overestimates sigma^2 by 1.52x (advisor round 3).
+_CHI2_2_MED_HALF = float(np.log(2.0))
 
 
 def _var(window: list) -> float:
@@ -110,6 +118,13 @@ def _var(window: list) -> float:
     if not window:
         return 0.0
     return float(np.median(window)) / _CHI2_MED
+
+
+def _var2(window: list) -> float:
+    """Per-axis variance from a window of (sigma^2/2)*chi2_2 samples."""
+    if not window:
+        return 0.0
+    return float(np.median(window)) / _CHI2_2_MED_HALF
 
 
 class _TypedWindows:
@@ -130,11 +145,19 @@ class _TypedWindows:
 
 
 class OnlineFloorEstimator:
-    """Incremental form of :func:`floor_schedule` — one ``update`` per tick.
+    """Incremental form of :func:`floor_schedule` — ``push`` residuals as
+    they arrive, ``read`` the outputs for the NEXT tick's type.
 
     The batched replay and the online per-tick engines share this single
     implementation, so the two production paths cannot drift apart.
-    Causal: the outputs after tick t use residuals from ticks <= t only.
+    Causal: the outputs read before tick t use residuals from ticks < t
+    (online) or <= t (batched replay, where the tick's own match precedes
+    the filter step).  ``push`` and ``read`` are split so the tick being
+    PROPOSED reads its OWN type's floors/blend/dial — with a combined
+    update the first tick of every turn would be proposed with the
+    translation type's (typically fully annealed) floors, exactly the
+    "enter the turn at the minimum floor" failure the per-type prior
+    shrinkage exists to prevent (advisor round 3).
     """
 
     def __init__(self, config):
@@ -147,23 +170,37 @@ class OnlineFloorEstimator:
         self.qw_xy = _TypedWindows(win)
         self.first_tick = True
 
-    def update(self, k, sr_th=None, sr_al=None, lat=None,
-               d_ang=None, d_t2=None):
-        """Ingest tick residuals (None = unavailable, e.g. tick 0 has no
-        previous scan and ticks 0-1 no two-step pair), return
-        ``(floor_xy, floor_th, blend_xy, blend_th, diag)`` for tick type
-        ``k`` (0 = rotation tick, 1 = translation tick)."""
-        config = self.config
-        lo, hi = config.proposal_floor_min, config.proposal_floor_max
-        blend_min = config.blend_min_sigma
+    def push(self, k, sr_th=None, sr_al=None, lat=None,
+             d_ang=None, d_t2=None):
+        """Ingest one tick's residuals under its tick type ``k``
+        (None = unavailable, e.g. tick 0 has no previous scan and ticks
+        0-1 no two-step pair)."""
         if sr_th is not None:
             self.rw_th.push(k, sr_th)
             self.rw_al.push(k, sr_al)
             self.rw_lat.push(k, lat ** 2)
         if d_ang is not None:
             # var(direct - composed) = 3 sigma^2; d_t2 sums two axes
+            # (chi2_2-scaled — see _var2)
             self.qw_th.push(k, d_ang ** 2 / 3.0)
             self.qw_xy.push(k, d_t2 / 6.0)
+
+    def update(self, k, sr_th=None, sr_al=None, lat=None,
+               d_ang=None, d_t2=None):
+        """push + read in one call — for callers where the tick's own
+        residuals ARE available before its filter step (batched replay)."""
+        self.push(k, sr_th=sr_th, sr_al=sr_al, lat=lat,
+                  d_ang=d_ang, d_t2=d_t2)
+        return self.read(k)
+
+    def read(self, k):
+        """Outputs for an upcoming tick of type ``k`` (0 = rotation tick,
+        1 = translation tick): ``(floor_xy, floor_th, blend_xy, blend_th,
+        dial, diag)`` where ``dial`` is the fs2 proposal mode dial in
+        [0, 1] (kernels.fastslam2_propose ``evidence_scale``)."""
+        config = self.config
+        lo, hi = config.proposal_floor_min, config.proposal_floor_max
+        blend_min = config.blend_min_sigma
 
         # m shrinks toward the CONFIG PRIOR while this tick type has few
         # samples, never toward the other type's stats: under the
@@ -174,7 +211,7 @@ class OnlineFloorEstimator:
         # decays to zero over the first ``n0`` samples of the type.  q
         # (matcher noise) is a property of the scans, not the regime, so
         # cross-type fallback there is safe.
-        n0 = 8
+        n0 = config.floor_prior_ticks
         th_w = self.rw_th.w[k]
         al_w = self.rw_al.w[k]
         b_th = float(np.median(th_w)) if th_w else 0.0
@@ -184,14 +221,15 @@ class OnlineFloorEstimator:
         # centered (debiased) second moments of the command error
         m_th_data = _var([(v - b_th) ** 2 for v in th_w])
         m_al_data = _var([(v - b_al) ** 2 for v in al_w])
-        m_th = (lam_th * config.proposal_theta_floor ** 2
+        m_th = (lam_th * config.floor_prior_sigma_theta ** 2
                 + (1 - lam_th) * m_th_data)
-        m_al = (lam_al * config.proposal_xy_floor ** 2
+        m_al = (lam_al * config.floor_prior_sigma_xy ** 2
                 + (1 - lam_al) * m_al_data)
         m_lat = _var(self.rw_lat.w[k]) if self.rw_lat.w[k] else m_al
+        m_lat_data = _var(self.rw_lat.w[k]) if self.rw_lat.w[k] else m_al_data
         m_xy = (m_al + m_lat) / 2.0
         q_th = _var(self.qw_th.get(k))
-        q_xy = _var(self.qw_xy.get(k))
+        q_xy = _var2(self.qw_xy.get(k))
         # the bias estimate itself carries sampling error ~ pi/2 * m / n
         # (median of n samples); the debiased match error is white noise
         # plus that residue.  Data moments only — the config-prior portion
@@ -211,8 +249,18 @@ class OnlineFloorEstimator:
         # microscopic).  Below the gate, blending only pollutes near-exact
         # commands with scan-match noise (measured: clean ATE 0.09 with an
         # ungated blend vs 0.034 without).
-        so_xy = max(m_xy - q_xy_eff, 0.0)
-        so_th = max(m_th - q_th_eff, 0.0)
+        # subtract the matcher noise from the DATA portion only: the config
+        # prior is a direct statement of the command-error sigma, not a
+        # residual moment contaminated by matcher noise — with a prior near
+        # the matcher-noise scale, subtracting q from it would zero the
+        # unseen-type entry floor to the minimum (the exact failure the
+        # prior exists to prevent)
+        so_xy_d = max((m_al_data + m_lat_data) / 2.0 - q_xy_eff, 0.0)
+        so_th_d = max(m_th_data - q_th_eff, 0.0)
+        so_xy = (lam_al * config.floor_prior_sigma_xy ** 2
+                 + (1 - lam_al) * so_xy_d)
+        so_th = (lam_th * config.floor_prior_sigma_theta ** 2
+                 + (1 - lam_th) * so_th_d)
         # blend only once the moment is data-driven (>= 4 samples): with
         # empty windows so equals the config prior and would spuriously
         # report "slip" before a single residual has been seen
@@ -239,9 +287,38 @@ class OnlineFloorEstimator:
             np.sqrt((1 - a_xy) ** 2 * so_xy + a_xy ** 2 * q_xy_eff), lo, hi))
         fth = float(np.clip(
             np.sqrt((1 - a_th) ** 2 * so_th + a_th ** 2 * q_th_eff), lo, hi))
+
+        # fs2 proposal MODE DIAL, coupled to the FLOOR the proposal is
+        # about to sample with.  Measurement-informed conditioning earns
+        # its keep exactly when the proposal noise is wide — startup and
+        # first-turn transients (per-type prior shrinkage holds the floor
+        # near the config prior until the type has samples) and slip (the
+        # floor tracks the blended odometry's error).  There, fs2 narrows
+        # the sample around measurement-consistent poses; sampling a wide
+        # floor WITHOUT conditioning is the worst of both (measured, seed-7
+        # clean N=100 x3 rng: wide-floor motion-mode transient 0.049 vs
+        # full-fs2-throughout 0.018 vs pure motion 0.013).  When the floor
+        # is tight and commands near-exact, conditioning on noisy landmarks
+        # only costs accuracy — ramp g to 0 and sample the reference's
+        # motion model.  Ramping on the floors also subsumes explicit slip
+        # detection: rotation slip opens the theta floor (never blended),
+        # and translation slip either opens the xy floor or is absorbed by
+        # the ICP blend (in which case the blended odometry is accurate and
+        # motion-mode is right again).
+        def _ramp(sig, lo_s, hi_s):
+            return float(np.clip((sig - lo_s) / max(hi_s - lo_s, 1e-9),
+                                 0.0, 1.0))
+
+        g_xy = _ramp(fxy, config.fs2_dial_lo_floor, config.fs2_dial_hi_floor)
+        g_th = _ramp(fth, config.fs2_dial_lo_floor, config.fs2_dial_hi_floor)
+        dial = max(g_xy, g_th) if config.fs2_mode_dial else 1.0
+        so_xy_data = max(max(m_al_data, m_lat_data) - q_xy_eff, 0.0)
+        so_th_data = max(m_th_data - q_th_eff, 0.0)
+
         diag = {"m_xy": m_xy, "m_th": m_th, "q_xy": q_xy_eff,
-                "q_th": q_th_eff, "b_tr": b_al, "b_th": b_th}
-        return fxy, fth, a_xy, a_th, diag
+                "q_th": q_th_eff, "b_tr": b_al, "b_th": b_th,
+                "so_xy": so_xy_data, "so_th": so_th_data}
+        return fxy, fth, a_xy, a_th, dial, diag
 
 
 def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
@@ -256,8 +333,10 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
     blend_th = np.zeros(t_total, np.float32)
     bias_tr = np.zeros(t_total, np.float32)
     bias_th = np.zeros(t_total, np.float32)
+    dial = np.zeros(t_total, np.float32)
     diag = {key: np.zeros(t_total) for key in
-            ("m_xy", "m_th", "q_xy", "q_th", "b_tr", "b_th")}
+            ("m_xy", "m_th", "q_xy", "q_th", "b_tr", "b_th",
+             "so_xy", "so_th")}
 
     est = OnlineFloorEstimator(config)
     for t in range(t_total):
@@ -265,14 +344,15 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
         res = (sr_th[t], sr_al[t], lat[t]) if t > 0 else (None, None, None)
         dd = (d_ang[t - 2], d_t2[t - 2]) \
             if d_ang is not None and t >= 2 else (None, None)
-        fxy, fth, a_xy, a_th, dg = est.update(
+        fxy, fth, a_xy, a_th, g, dg = est.update(
             k, sr_th=res[0], sr_al=res[1], lat=res[2],
             d_ang=dd[0], d_t2=dd[1])
         floors_xy[t], floors_th[t] = fxy, fth
         blend_xy[t], blend_th[t] = a_xy, a_th
         bias_tr[t], bias_th[t] = dg["b_tr"], dg["b_th"]
+        dial[t] = g
         for key in diag:
             diag[key][t] = dg[key]
 
     return FloorSchedule(floors_xy, floors_th, blend_xy, blend_th,
-                         bias_tr, bias_th, diag)
+                         bias_tr, bias_th, dial, diag)

@@ -87,9 +87,10 @@ def test_unseen_tick_type_enters_at_the_config_prior():
     cfg = make_config()
     s = adaptive.floor_schedule(*synth(), cfg)
     # the first rotation tick (t=87) has ~no rotation-type samples: the
-    # floor must reflect the config prior, not the translation ticks'
-    # annealed (tiny) moments — a turn can bring an unseen slip regime
-    assert s.floors_th[87] > 0.5 * cfg.proposal_theta_floor
+    # floor must reflect the estimator's config prior
+    # (floor_prior_sigma_theta), not the translation ticks' annealed
+    # (tiny) moments — a turn can bring an unseen slip regime
+    assert s.floors_th[87] > 0.5 * cfg.floor_prior_sigma_theta
 
 
 def test_single_outlier_cannot_whip_an_annealed_floor():
