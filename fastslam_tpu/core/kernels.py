@@ -978,7 +978,7 @@ def fastslam_steps_planes_chunked(
                 measurements.range_bearing, measurements.valid,
                 noise, rot_eff, trans_eff, s_t2, s_r2, fxy, config,
                 evidence_scale=evidence_scale,
-                interpret=config.pallas_interpret,
+                interpret=config.pallas_interpret, unroll=unroll,
             )
         )
     else:

@@ -1487,6 +1487,7 @@ def _fused_fs2_multi_kernel(
     meas_noise: float,
     default_cov: float,
     evidence_weights: bool,
+    unroll: int = 1,
 ):
     """C FastSLAM 2.0 ticks on one particle tile, landmark planes
     VMEM-resident throughout (the fs2 analog of :func:`_fused_multi_kernel`).
@@ -1552,7 +1553,22 @@ def _fused_fs2_multi_kernel(
                 evidence=evidence_weights, scale=prior_ref[k, 3],
             )
 
-        acc = jax.lax.fori_loop(0, mtrip, _accum_body, acc)
+        # manual unroll with dynamic ROUND count, exactly as the motion
+        # multi kernel does it (overshoot ticks are z_ok no-ops — for the
+        # proposal accumulation `use` is False so Lambda/eta are untouched)
+        if unroll > 1:
+            if num_measurements % unroll:
+                raise ValueError("unroll must divide max_measurements")
+
+            def _accum_round(i, acc):
+                for j in range(unroll):
+                    acc = _accum_body(i * unroll + j, acc)
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, (mtrip + unroll - 1) // unroll, _accum_round, acc)
+        else:
+            acc = jax.lax.fori_loop(0, mtrip, _accum_body, acc)
         if evidence_weights:
             logw = logw + acc[9]
 
@@ -1576,10 +1592,18 @@ def _fused_fs2_multi_kernel(
                 skip_ekf=False, weight_update=not evidence_weights, sym=True,
             )
 
-        mx, my, ca, cb, cd, detp, cnt, logw = jax.lax.fori_loop(
-            0, mtrip, _measurement_body,
-            (mx, my, ca, cb, cd, detp, cnt, logw),
-        )
+        mcarry = (mx, my, ca, cb, cd, detp, cnt, logw)
+        if unroll > 1:
+            def _meas_round(i, mcarry):
+                for j in range(unroll):
+                    mcarry = _measurement_body(i * unroll + j, mcarry)
+                return mcarry
+
+            mcarry = jax.lax.fori_loop(
+                0, (mtrip + unroll - 1) // unroll, _meas_round, mcarry)
+        else:
+            mcarry = jax.lax.fori_loop(0, mtrip, _measurement_body, mcarry)
+        mx, my, ca, cb, cd, detp, cnt, logw = mcarry
 
         tx_out[pl.ds(k, 1), :] = px
         ty_out[pl.ds(k, 1), :] = py
@@ -1625,6 +1649,7 @@ def fused_fs2_planes_multi(
     *,
     evidence_scale: jax.Array | None = None,  # scalar or [C]: mode dial
     interpret: bool = False,
+    unroll: int = 2,
 ):
     """C chunked FastSLAM 2.0 ticks with VMEM-resident landmark planes.
 
@@ -1658,6 +1683,8 @@ def fused_fs2_planes_multi(
     rowspec = pl.BlockSpec((1, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
     tickspec = pl.BlockSpec((cp, tile), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
 
+    if m % unroll:
+        unroll = 1  # unroll must divide the measurement capacity
     kernel = functools.partial(
         _fused_fs2_multi_kernel,
         num_ticks=c,
@@ -1665,7 +1692,8 @@ def fused_fs2_planes_multi(
         gate=float(config.max_landmark_distance),
         meas_noise=float(config.measurement_noise),
         default_cov=float(config.default_landmark_cov),
-       evidence_weights=bool(config.fs2_evidence_weights),
+        evidence_weights=bool(config.fs2_evidence_weights),
+        unroll=unroll,
     )
 
     out_shapes = (

@@ -154,12 +154,18 @@ def run(n_landmarks=1_000_000, k=256, iters=8, n_devices=8,
                                      sigma_theta=0.001)
     align_s = time.monotonic() - t0
 
+    # factor weights = the TRUE sensor noise (a real deployment knows these
+    # from odometry/sensor calibration).  At a 4 km field this matters
+    # structurally: with a generic odo_sigma_theta=0.05 (50x the true
+    # 0.001/step heading noise) km-wavelength bending modes of the
+    # serpentine cost ~2500x too little, and the chi^2 optimum bends the
+    # whole map ~1 m away from truth even with every loop closure merged
     t0 = time.monotonic()
     g = build_pose_graph(
         noisy, obs, association_poses=aligned, association_gate=0.5,
         max_landmarks=lm_capacity, max_factors=factor_capacity,
-        obs_sigma_r=0.05, obs_sigma_b=0.01,
-        odo_sigma_xy=0.2, odo_sigma_theta=0.05,
+        obs_sigma_r=0.01, obs_sigma_b=1e-3,
+        odo_sigma_xy=0.05, odo_sigma_theta=0.001,
     )
     build_s = time.monotonic() - t0
     n_lm = int(np.asarray(g.lm_valid).sum())

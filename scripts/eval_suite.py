@@ -281,36 +281,60 @@ def section_scale(args):
 
 def section_jderobot(args):
     """The engine consuming the reference's NATIVE data format end-to-end:
-    the canned JdeRobot HAL trace (data/jderobot/, recorded through the
+    every canned JdeRobot HAL trace in data/jderobot/ (recorded through the
     duck-typed HAL surface per robot.py:32-58) replayed at N=1k per-tick
     and — without --cpu — N=100k on the TPU chunked engine, each bounded by
-    the oracle on the same trace."""
+    the oracle on the same trace.  The TPU run adds wheel-slip rows on the
+    native trace (motion-only vs the fs2+adaptive flagship) so the slip
+    robustness story is told on the reference's own data format, not only
+    on synthetic worlds."""
+    import glob
+
     from fastslam_tpu.io.jderobot_trace import load_hal_trace
 
-    path = os.path.join(os.path.dirname(__file__), "..", "data", "jderobot",
-                        "corridor_seed3_300.jsonl")
-    log = load_hal_trace(path)
-    p0 = log.gt_poses[0]
-    c0, s0 = np.cos(-p0[2]), np.sin(-p0[2])
-    d = log.gt_poses - p0
-    gt = np.stack([c0 * d[:, 0] - s0 * d[:, 1],
-                   s0 * d[:, 0] + c0 * d[:, 1], d[:, 2]], axis=-1)
+    paths = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "data", "jderobot", "*.jsonl")))
+    seeds, logs = [], []
+    for path in paths:
+        log = load_hal_trace(path)
+        p0 = log.gt_poses[0]
+        c0, s0 = np.cos(-p0[2]), np.sin(-p0[2])
+        d = log.gt_poses - p0
+        gt = np.stack([c0 * d[:, 0] - s0 * d[:, 1],
+                       s0 * d[:, 0] + c0 * d[:, 1], d[:, 2]], axis=-1)
+        seeds.append(os.path.basename(path).replace(".jsonl", ""))
+        logs.append((log, gt))
 
     oracle_name = (f"reference equations (NumPy oracle, "
                    f"N={args.oracle_particles}, JdeRobot trace)")
     rows = {
-        oracle_name: [run_oracle_row(log, gt, args.oracle_particles)],
-        "production (N=1k, JdeRobot trace)": [run_mode(
-            log, gt, dict(num_particles=1000, parity_mode=False))],
+        oracle_name: [run_oracle_row(log, gt, args.oracle_particles)
+                      for log, gt in logs],
+        "production (N=1k, JdeRobot trace)": [
+            run_mode(log, gt, dict(num_particles=1000, parity_mode=False))
+            for log, gt in logs],
     }
     if not args.cpu:
+        tpu = dict(num_particles=100_000, parity_mode=False, use_pallas=True)
+        fs2ad = dict(num_particles=100_000, parity_mode=False,
+                     use_pallas=True, proposal_mode="fastslam2",
+                     use_icp_proposal=True, adaptive_proposal_floors=True)
         rows["production chunked C=8 (N=100k, TPU, JdeRobot trace)"] = [
-            run_mode(log, gt,
-                     dict(num_particles=100_000, parity_mode=False,
-                          use_pallas=True),
-                     chunked=True)
-        ]
-    return ["trace seed 3"], rows
+            run_mode(log, gt, tpu, chunked=True) for log, gt in logs]
+        slip_oracle = (f"reference equations (NumPy oracle, "
+                       f"N={args.oracle_particles}, JdeRobot trace, "
+                       f"wheel slip)")
+        rows[slip_oracle] = [
+            run_oracle_row(log, gt, args.oracle_particles,
+                           odometry_noise=SLIP) for log, gt in logs]
+        rows["production chunked C=8 (N=100k, TPU, JdeRobot, wheel slip)"] \
+            = [run_mode(log, gt, tpu, chunked=True, odometry_noise=SLIP)
+               for log, gt in logs]
+        rows["production+fs2+adaptive chunked C=8 (N=100k, TPU, JdeRobot, "
+             "wheel slip)"] = [
+            run_mode(log, gt, fs2ad, chunked=True, odometry_noise=SLIP)
+            for log, gt in logs]
+    return seeds, rows
 
 
 SECTIONS = {

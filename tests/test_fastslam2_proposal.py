@@ -275,6 +275,106 @@ def test_planes_fs2_respects_proposal_floors():
     assert float(jnp.std(wide.poses[:, 1])) > 5 * float(jnp.std(tight.poses[:, 1]))
 
 
+def test_evidence_scale_zero_is_the_pure_motion_prior():
+    """The mode dial at g=0 must make the fs2 proposal EXACTLY the motion
+    prior sample: bit-identical to proposing with an empty landmark map
+    (no associations -> Lambda = prior, eta = 0), same noise stream."""
+    cfg_b, _, st_b, _ = _seeded_pair()
+    ms = pad_measurements(cfg_b, [(2.1, 0.25), (2.9, -1.05)])
+    noise = jax.random.normal(jax.random.PRNGKey(7),
+                              (cfg_b.num_particles, 3))
+
+    zeroed, _ = kernels.fastslam2_propose(
+        st_b, jnp.float32(0.0), jnp.float32(0.3), ms, noise, cfg_b,
+        evidence_scale=jnp.float32(0.0),
+    )
+    st_empty = st_b._replace(lm_count=jnp.zeros_like(st_b.lm_count))
+    prior_only, _ = kernels.fastslam2_propose(
+        st_empty, jnp.float32(0.0), jnp.float32(0.3), ms, noise, cfg_b,
+    )
+    np.testing.assert_array_equal(np.asarray(zeroed.poses),
+                                  np.asarray(prior_only.poses))
+
+
+def test_evidence_scale_interpolates_and_one_is_default():
+    cfg_b, _, st_b, _ = _seeded_pair()
+    ms = pad_measurements(cfg_b, [(2.1, 0.25), (2.9, -1.05)])
+    noise = jax.random.normal(jax.random.PRNGKey(7),
+                              (cfg_b.num_particles, 3))
+
+    run = lambda g: kernels.fastslam2_propose(
+        st_b, jnp.float32(0.0), jnp.float32(0.3), ms, noise, cfg_b,
+        evidence_scale=g,
+    )[0].poses
+    full = run(None)
+    np.testing.assert_array_equal(np.asarray(run(jnp.float32(1.0))),
+                                  np.asarray(full))
+    half = np.asarray(run(jnp.float32(0.5)))
+    zero = np.asarray(run(jnp.float32(0.0)))
+    assert np.isfinite(half).all()
+    assert not np.array_equal(half, zero)
+    assert not np.array_equal(half, np.asarray(full))
+    # the g=0.5 sample mean sits between the endpoints' means
+    for d in range(2):
+        lohi = sorted([zero[:, d].mean(), np.asarray(full)[:, d].mean()])
+        assert lohi[0] - 1e-4 <= half[:, d].mean() <= lohi[1] + 1e-4
+
+
+def test_planes_fs2_evidence_scale_matches_blocks_path():
+    """The traced dial must reach the fused kernel and match the XLA path
+    at an intermediate value (same tolerance as the g=1 parity test)."""
+    from fastslam_tpu.core.state import from_planes
+
+    cfg_b, cfg_p, st_b, st_p = _seeded_pair()
+    ms = pad_measurements(cfg_b, [(2.1, 0.25), (2.9, -1.05)])
+    g = jnp.float32(0.37)
+
+    nb, est_b = kernels.fastslam_step(
+        st_b, jnp.float32(0.0), jnp.float32(0.3), ms, cfg_b,
+        evidence_scale=g,
+    )
+    np_, est_p = kernels.fastslam_step_planes(
+        st_p, jnp.float32(0.0), jnp.float32(0.3), ms, cfg_p,
+        evidence_scale=g,
+    )
+    npb = from_planes(np_)
+    np.testing.assert_allclose(np.asarray(nb.poses), np.asarray(npb.poses),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(est_b), np.asarray(est_p),
+                               atol=2e-5)
+
+
+def test_chunked_fs2_unroll_is_bit_exact():
+    """The fs2 chunked kernel's manual measurement-loop unroll (both the
+    proposal accumulation and the EKF loop) must be a pure scheduling
+    change — bit-identical states."""
+    from fastslam_tpu.core.state import Measurements, init_planes_state
+
+    cfg_b, cfg_p, _, _ = _seeded_pair()
+    c = 4
+    rots = jnp.array([0.0, 0.1, 0.0, -0.05], jnp.float32)
+    trans = jnp.array([0.3, 0.0, 0.25, 0.0], jnp.float32)
+    ms = pad_measurements(cfg_b, [(2.0, 0.3), (3.0, -1.0)])
+    rb = jnp.tile(ms.range_bearing[None], (c, 1, 1))
+    mv = jnp.tile(ms.valid[None], (c, 1))
+
+    def run(unroll):
+        st = init_planes_state(cfg_p, rng=0)
+        return kernels.fastslam_steps_planes_chunked(
+            st, rots, trans, Measurements(rb, mv), cfg_p, unroll=unroll
+        )
+
+    base_st, base_est = run(1)
+    for unroll in (2, 4):
+        u_st, u_est = run(unroll)
+        np.testing.assert_array_equal(np.asarray(u_est),
+                                      np.asarray(base_est))
+        np.testing.assert_array_equal(np.asarray(u_st.lm_mx),
+                                      np.asarray(base_st.lm_mx))
+        np.testing.assert_array_equal(np.asarray(u_st.log_weights),
+                                      np.asarray(base_st.log_weights))
+
+
 def test_chunked_fs2_runs_and_is_finite():
     from fastslam_tpu.core.state import Measurements
 
