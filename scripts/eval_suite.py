@@ -371,12 +371,16 @@ Parity N=1000 sitting above the N=50 oracle is therefore expected behavior
 of the reference algorithm itself, not an engine accuracy violation; the
 bound as stated applies to the production rows.
 
-The fs2 proposal's floors default to real-robot odometry error (0.01); on
-these near-exact-odometry sim logs tighter floors close the gap (0.0003 ->
-0.017 on seed 3), and under wheel slip fs2/ICP beat the motion-only
-proposal (the slip rows).  The `+adaptive` rows estimate the floors ONLINE
-from the ICP-vs-command residual — one config for both regimes (clean rows
-use icp_blend=0, residual-only; slip rows blend the scan match in).  The
+The fs2 proposal's static floors default to real-robot odometry error
+(0.01); on these near-exact-odometry sim logs tighter floors close the gap
+(0.0003 -> 0.017 on seed 3), and under wheel slip fs2/ICP beat the
+motion-only proposal (the slip rows).  The `+adaptive` rows estimate the
+floors ONLINE from the ICP-vs-command residual and drive the PROPOSAL MODE
+DIAL from them (floor-coupled g in [0, 1] traced into the kernel: tight
+floor + clean commands -> the reference's motion sampling, wide floor /
+slip -> full measurement-informed fs2) plus a translation-only MMSE
+command-vs-ICP blend — one config for both regimes with no per-regime
+tuning.  The
 `chunked C=8` rows are the headline-bench batch-replay engine (resampling
 at chunk boundaries; ~1.3x throughput for a small ATE cost vs per-tick
 production).  The scale table runs the same worlds at N=10k/100k on the
