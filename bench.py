@@ -289,8 +289,12 @@ def main():
     if ups2 > ups:
         ups, step_s = ups2, step_s2
     # throughput of the accuracy-flagship FastSLAM 2.0 mode, tracked
-    # round-over-round alongside the motion-proposal headline
-    fs2_ups, fs2_step_s = bench_tpu(num_steps=48, proposal="fastslam2",
+    # round-over-round alongside the motion-proposal headline.  Same
+    # num_steps as the headline: the ~50-80 ms dispatch overhead amortizes
+    # over the scan length, so a shorter scan inflates ms/tick (round 4
+    # measured the 48-step fs2 row ~0.8 ms/tick worse than the same
+    # program at 96 steps)
+    fs2_ups, fs2_step_s = bench_tpu(num_steps=96, proposal="fastslam2",
                                     reps=12, budget_s=90.0)
     e2e_fps = bench_e2e()
     base_meas = bench_oracle_baseline()

@@ -42,7 +42,11 @@ class RunHistory:
     evaluations: List[TickEvaluation] = field(default_factory=list)
     num_measurements: List[int] = field(default_factory=list)
     # final (xy, theta) adaptive proposal floors, when the run adapts them
+    # (the floors the LAST tick's type read — floors are per tick type)
     final_floors: tuple | None = None
+    # ((fxy, fth) for rotation ticks, (fxy, fth) for translation ticks) at
+    # end of run — slip on one component opens only that TYPE's floors
+    final_floors_by_type: tuple | None = None
     # full per-tick floor trajectories (batched replay only) — observability
     floor_traj: tuple | None = None
 
@@ -208,6 +212,16 @@ class SLAMRunner:
         self._prev_scan = cur
         if prev is None:
             self._prev_cmd = (float(rotation), float(translation))
+            if self._adaptive_floors:
+                # first tick: no residuals yet, but the step still reads
+                # this tick's type floors/dial from the estimator's prior —
+                # identical to the fused path's unconditional pre-dispatch
+                # read
+                k = int(v != 0)
+                fxy, fth, a_xy, _a_th, dial, _d = self._floor_est.read(k)
+                self._floor_xy, self._floor_th = fxy, fth
+                self._blend_xy = a_xy
+                self._dial = dial
             return rotation, translation
 
         def match(src, src_valid, warm_ang, warm_t):
@@ -264,15 +278,15 @@ class SLAMRunner:
                 kw.update(d_ang=float(d_ang[0]), d_t2=float(d_t2[0]))
             self._prev_se2 = (ang, float(t_comp[0]), float(t_comp[1]))
             self._prev_cmd = (float(rotation), float(translation))
-            # blend for THIS tick's odometry: read BEFORE pushing this
-            # tick's residual (causal — the residual measures the very
-            # match being blended) but with this tick's OWN type k (the
-            # previous tick's estimate carried the other type's blend at
-            # every type boundary — advisor round 3)
-            a_t = self._floor_est.read(k)[2]
+            # read floors/blend/dial for THIS tick BEFORE pushing its
+            # residual — same semantics as the fused one-dispatch path
+            # (residuals through t-1, this tick's OWN type k), so the two
+            # production paths cannot drift apart; also causal for the
+            # blend (the residual measures the very match being blended)
+            fxy, fth, a_xy, _a_th, dial, _diag = self._floor_est.read(k)
+            a_t = a_xy
             a_r = 0.0             # rotation never blended (adaptive.py)
             self._floor_est.push(k, **kw)
-            fxy, fth, a_xy, _a_th, dial, _diag = self._floor_est.read(k)
             self._floor_xy, self._floor_th = fxy, fth
             self._blend_xy = a_xy
             self._dial = dial
@@ -692,6 +706,9 @@ def run_driver(
         metrics.close()
     if runner._adaptive_floors:
         history.final_floors = (runner._floor_xy, runner._floor_th)
+        r0 = runner._floor_est.read(0)
+        r1 = runner._floor_est.read(1)
+        history.final_floors_by_type = ((r0[0], r0[1]), (r1[0], r1[1]))
     return history
 
 

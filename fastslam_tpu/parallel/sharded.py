@@ -285,6 +285,8 @@ def _constrained_planes_chunked(
     measurements: Measurements,  # [C, M, ...]
     config: FastSLAMConfig,
     mesh: Mesh,
+    proposal_floors: Tuple[jax.Array, jax.Array] | None = None,  # ([C], [C])
+    evidence_scale: jax.Array | None = None,                     # [C]
 ) -> Tuple[PlanesState, jax.Array]:
     """fastslam_steps_planes_chunked decomposed for the mesh: the multi-tick
     fused kernel (in-kernel propagation + C measurement loops, landmark
@@ -312,15 +314,19 @@ def _constrained_planes_chunked(
 
         noise = jax.random.normal(k_rot, (c, 3, p), dtype=dt)
         rot_eff, trans_eff, s_t2, s_r2, fxy = kernels.fs2_prior_scalars(
-            rotations, translations, config
+            rotations, translations, config, proposal_floors
         )
+        dial = (jnp.ones((c,), jnp.float32) if evidence_scale is None
+                else jnp.broadcast_to(
+                    jnp.asarray(evidence_scale, jnp.float32), (c,)))
 
         def local_fs2(poses, logw, mx, my, ca, cb, cd, count, rb, valid,
-                      noise, rot_eff, trans_eff, s_t2, s_r2, fxy):
+                      noise, rot_eff, trans_eff, s_t2, s_r2, fxy, dial):
             # production-only path: no cc plane (cc == cb)
             out = fused_fs2_planes_multi(
                 poses, logw, mx, my, ca, cb, None, cd, count, rb, valid,
                 noise, rot_eff, trans_eff, s_t2, s_r2, fxy, config,
+                evidence_scale=dial,
                 interpret=config.pallas_interpret,
             )
             tx, ty, tyaw, tlogw, mx, my, ca, cb, _cc, cd, cnt = out
@@ -330,13 +336,14 @@ def _constrained_planes_chunked(
             local_fs2, mesh=mesh,
             in_specs=(P(pax, None), pspec) + (plane_spec,) * 5
                      + (pspec, P(), P(), P(None, None, pax),
-                        P(), P(), P(), P(), P()),
+                        P(), P(), P(), P(), P(), P()),
             out_specs=(plane_spec,) * 4 + (plane_spec,) * 5 + (pspec,),
             check_vma=False,
         )(state.poses, state.log_weights, state.lm_mx, state.lm_my,
           state.lm_ca, state.lm_cb, state.lm_cd, state.lm_count,
           measurements.range_bearing, measurements.valid, noise,
-          rot_eff, trans_eff, s_t2, s_r2, fxy)
+          rot_eff, trans_eff, s_t2, s_r2,
+          jnp.broadcast_to(jnp.asarray(fxy, jnp.float32), (c,)), dial)
     else:
         from fastslam_tpu.core.pallas_kernels import fused_update_planes_multi
 
@@ -403,16 +410,44 @@ def _constrained_planes_chunked(
 
 
 def make_sharded_planes_chunked_step(config: FastSLAMConfig, mesh: Mesh,
-                                     chunk_size: int):
+                                     chunk_size: int,
+                                     adaptive: bool = False):
     """Compile the multi-tick chunked planes step for a 1-D particle mesh.
 
     Returns ``step(state, rotations [C], translations [C], measurements
-    [C, M, ...])`` -> ``(state, per-tick pose estimates [C, 3])``."""
+    [C, M, ...])`` -> ``(state, per-tick pose estimates [C, 3])``.
+
+    With ``adaptive=True`` (fs2 only) the step takes three extra
+    REPLICATED per-tick rows — ``floors_xy [C], floors_th [C], dial [C]``
+    — the adaptive-estimator outputs the single-device chunked path traces
+    in (kernels.fastslam_steps_planes_chunked ``proposal_floors`` /
+    ``evidence_scale``), so the flagship fs2+adaptive replay runs
+    identically on the mesh."""
     if config.parity_mode:
         raise ValueError("chunked execution is production-mode only")
     shardings = planes_state_sharding(mesh, config)
     repl = NamedSharding(mesh, P())
     ms_sharding = Measurements(range_bearing=repl, valid=repl)
+    if adaptive:
+        if config.proposal_mode != "fastslam2":
+            raise ValueError("adaptive floors/dial are fs2-proposal inputs")
+
+        def step(state, rotations, translations, measurements,
+                 floors_xy, floors_th, dial):
+            return _constrained_planes_chunked(
+                state, rotations, translations, measurements,
+                config=config, mesh=mesh,
+                proposal_floors=(floors_xy, floors_th),
+                evidence_scale=dial,
+            )
+
+        return jax.jit(
+            step,
+            in_shardings=(shardings, repl, repl, ms_sharding,
+                          repl, repl, repl),
+            out_shardings=(shardings, repl),
+            donate_argnums=0,
+        )
     return jax.jit(
         partial(_constrained_planes_chunked, config=config, mesh=mesh),
         in_shardings=(shardings, repl, repl, ms_sharding),

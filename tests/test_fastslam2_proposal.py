@@ -172,10 +172,16 @@ def test_adaptive_floors_track_the_real_odometry_error():
     fxy_slip, fth_slip = slip.final_floors
     # clean: annealed below the hand-tuned default
     assert fxy_clean < 0.01, fxy_clean
-    # slip: opened up to the slip scale (0.02/tick), well above clean
+    # slip: opened well above clean.  Floors are PER TICK TYPE (slip hits
+    # only the active component: rotation slip shows on rotation ticks,
+    # where theta uncertainty actually exists) — so the theta comparison
+    # uses the rotation-type read, not whichever type the run happened to
+    # end on
     assert fxy_slip > 3 * fxy_clean, (fxy_clean, fxy_slip)
-    assert fth_slip > fth_clean, (fth_clean, fth_slip)
-    assert fxy_slip > 0.008, fxy_slip
+    (fxy0_c, fth0_c), _ = clean.final_floors_by_type
+    (fxy0_s, fth0_s), _ = slip.final_floors_by_type
+    assert fth0_s > 3 * fth0_c, (fth0_c, fth0_s)
+    assert fxy_slip > 0.002, fxy_slip
 
     # both regimes keep tracking without per-regime hand-tuning
     for h in (clean, slip):

@@ -286,3 +286,28 @@ def test_sharded_fs2_planes_matches_single_device():
     np.testing.assert_allclose(np.asarray(estc1), np.asarray(estc8), atol=1e-5)
     np.testing.assert_allclose(np.asarray(stc1.lm_mx), np.asarray(stc8.lm_mx),
                                atol=1e-5)
+
+    # chunked fs2 with the ADAPTIVE inputs (per-tick floors + mode dial)
+    # traced in as replicated rows — the flagship replay config on the mesh
+    floors_xy = jnp.array([0.004, 0.002, 0.001, 0.0008], jnp.float32)
+    floors_th = jnp.array([0.003, 0.001, 0.0008, 0.0006], jnp.float32)
+    dial = jnp.array([1.0, 0.6, 0.2, 0.0], jnp.float32)
+    sta1 = shard_planes_state(init_planes_state(cfg, rng=11), mesh1, cfg)
+    sta8 = shard_planes_state(init_planes_state(cfg, rng=11), mesh8, cfg)
+    astep1 = make_sharded_planes_chunked_step(cfg, mesh1, c, adaptive=True)
+    astep8 = make_sharded_planes_chunked_step(cfg, mesh8, c, adaptive=True)
+    sta1, esta1 = astep1(sta1, rots, trans, msc, floors_xy, floors_th, dial)
+    sta8, esta8 = astep8(sta8, rots, trans, msc, floors_xy, floors_th, dial)
+    np.testing.assert_allclose(np.asarray(esta1), np.asarray(esta8),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sta1.lm_mx),
+                               np.asarray(sta8.lm_mx), atol=1e-5)
+    # the single-device chunked kernel with the same floors/dial agrees
+    from fastslam_tpu.core import kernels as _k
+    stk = init_planes_state(cfg, rng=11)
+    stk, estk = _k.fastslam_steps_planes_chunked(
+        stk, rots, trans, msc, cfg,
+        proposal_floors=(floors_xy, floors_th), evidence_scale=dial,
+    )
+    np.testing.assert_allclose(np.asarray(estk), np.asarray(esta8),
+                               atol=1e-5)
