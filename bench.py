@@ -67,7 +67,7 @@ def _timed_best(fn, sync, *, reps: int, budget_s: float) -> float:
     return best
 
 
-def bench_tpu(num_steps: int = 96, chunk: int = 8, proposal: str = "motion",
+def bench_tpu(num_steps: int = 96, chunk: int = 16, proposal: str = "motion",
               reps: int = 24, budget_s: float = 150.0):
     """Time ``num_steps`` data-dependent filter ticks inside ONE jit via
     ``lax.scan`` — one dispatch, one block.  This is immune to async-dispatch
@@ -81,13 +81,15 @@ def bench_tpu(num_steps: int = 96, chunk: int = 8, proposal: str = "motion",
     On TPU this measures the production batch-replay engine
     (``fastslam_steps_planes_chunked``, ``chunk`` ticks per fused kernel
     invocation with the landmark planes VMEM-resident; normalization/Neff/
-    resampling at chunk boundaries).  The accuracy cost of chunk=8 vs the
-    per-tick step is ~8% relative ATE on the seed-3 verify drive (0.0187 vs
-    0.0172 m) — both ~7x better than reference-parity mode.  Measured
-    figures on the same chip after the cc-plane drop
-    (eval_results/vpu_roofline.json loop_measurements, 2026-08-20):
-    4.648 ms/tick per-tick path vs 2.418 chunked C=8 unroll=4 — ~92% of the
-    2.23 ms plane-stream ceiling."""
+    resampling at chunk boundaries).  Chunk=16 is the round-4 headline
+    config — its accuracy is pinned in the EVAL scale table
+    ("production chunked C=16 (N=100k, TPU)") alongside C=8; both sit at
+    the same ~0.013-0.014 m ATE as the per-tick path on the 3-seed set.
+    Measured figures on the same chip (2026-08-21, vpu_roofline.json +
+    this sweep): per-tick 4.648 ms/tick; chunked C=8 unroll 4 = 2.418;
+    C=8 unroll 8 = 2.329; C=16 unroll 4 = 2.242 ms/tick (714 M updates/s)
+    — past the 2.23 ms C=8 plane-stream ceiling by halving the number of
+    chunk-boundary plane streams."""
     import jax
     import jax.numpy as jnp
 
@@ -294,7 +296,8 @@ def main():
     # over the scan length, so a shorter scan inflates ms/tick (round 4
     # measured the 48-step fs2 row ~0.8 ms/tick worse than the same
     # program at 96 steps)
-    fs2_ups, fs2_step_s = bench_tpu(num_steps=96, proposal="fastslam2",
+    fs2_ups, fs2_step_s = bench_tpu(num_steps=96, chunk=8,
+                                    proposal="fastslam2",
                                     reps=12, budget_s=90.0)
     e2e_fps = bench_e2e()
     base_meas = bench_oracle_baseline()

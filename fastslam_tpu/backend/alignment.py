@@ -280,6 +280,9 @@ def consensus_align(
     min_matches: int = 30,
     max_pair_rms: float = 0.5,
     irls_rounds: int = 2,
+    session_boundaries: Sequence[int] = (),
+    cross_session_t_sd: float = 0.5,
+    cross_session_om_sd: float = 0.02,
 ) -> Tuple[np.ndarray, dict]:
     """Estimate and subtract per-keyframe drift (see module doc).
 
@@ -294,6 +297,16 @@ def consensus_align(
         (:func:`register_clouds`).
       max_pair_rms: registrations with worse residual RMS are discarded.
       irls_rounds: reweighting rounds that suppress outlier registrations.
+      session_boundaries: keyframe indices where a NEW session starts
+        (multi-session joint alignment, the same convention as
+        ``build_pose_graph``): the random-walk prior is cut across each
+        boundary (no odometry links independent trajectories), and pairs
+        SPANNING a boundary use the cross-session prior below instead of
+        the within-session random-walk model — those pairs are precisely
+        the cross-session loop closures.
+      cross_session_t_sd / cross_session_om_sd: translation / rotation
+        scale of the relative error between independently-drifted (and
+        pre-aligned, e.g. map_merge) sessions.
 
     Returns ``(corrected_poses [K, 3], info)`` where ``info`` records the
     pair count, inlier count, and the solved drift field.
@@ -333,14 +346,23 @@ def consensus_align(
         base_vec = kf[b, :2] - kf[a, :2]
         baseline = float(np.linalg.norm(base_vec))
         arm = max(0.75 * baseline, 1.0)
-        sd_rel = np.sqrt(dt * 2.0 * sigma_xy ** 2
-                         + dt * sigma_theta ** 2 * arm ** 2)
-        sd_common = np.sqrt(float(min(a, b))) * sigma_theta * baseline
+        spans_boundary = any(a < s <= b for s in session_boundaries)
+        if spans_boundary:
+            # independent trajectories: relative error is the two sessions'
+            # combined absolute drift / pre-alignment residual, not a
+            # shared random walk
+            sd_rel = cross_session_t_sd
+            sd_common = cross_session_t_sd
+            om_sd = cross_session_om_sd
+        else:
+            sd_rel = np.sqrt(dt * 2.0 * sigma_xy ** 2
+                             + dt * sigma_theta ** 2 * arm ** 2)
+            sd_common = np.sqrt(float(min(a, b))) * sigma_theta * baseline
+            om_sd = np.sqrt(dt) * sigma_theta
         w_par = float(np.clip(6.0 * sd_rel + 1.0, 2.0, window))
         w_per = float(np.clip(
             6.0 * np.sqrt(sd_rel ** 2 + sd_common ** 2) + 1.0, 2.0,
             max(window, 6.0 * sd_common + 2.0)))
-        om_sd = np.sqrt(dt) * sigma_theta
         om_step = max(0.5 / arm, om_sd / 6.0)
         n_side = min(12, int(np.ceil(4.0 * om_sd / om_step)))
         om_cands = om_step * np.arange(-n_side, n_side + 1)
@@ -394,10 +416,20 @@ def consensus_align(
         # anchor e_0 = 0
         h[0:3, 0:3] += np.eye(3) * 1e6
 
-        # random-walk prior e_{i+1} - e_i = 0
+        # random-walk prior e_{i+1} - e_i = 0 (cut across session
+        # boundaries: independent trajectories share no odometry link —
+        # each later session is instead anchored softly so its gauge stays
+        # solvable even with no cross-session pair)
         wprior = np.array([1.0 / sigma_xy ** 2, 1.0 / sigma_xy ** 2,
                            1.0 / sigma_theta ** 2])
+        for s in session_boundaries:
+            if 0 < s < k:
+                i0 = 3 * s
+                h[i0:i0 + 3, i0:i0 + 3] += np.eye(3) * (
+                    1.0 / max(cross_session_t_sd ** 2, 1e-12))
         for i in range(k - 1):
+            if (i + 1) in session_boundaries:
+                continue
             a0, b0 = 3 * i, 3 * (i + 1)
             for d in range(3):
                 h[a0 + d, a0 + d] += wprior[d]

@@ -237,6 +237,9 @@ def refine_merged_sessions(
     association_gate: float = 0.8,
     max_landmarks: int = 256,
     max_factors: int = 4096,
+    consensus: bool = True,
+    consensus_sigma_xy: float = 0.05,
+    consensus_sigma_theta: float = 0.001,
 ):
     """Joint pose-graph refinement of two merged sessions.
 
@@ -253,6 +256,13 @@ def refine_merged_sessions(
     Args:
       kf_a / kf_b_aligned: ``[Ka, 3]`` / ``[Kb, 3]`` keyframe poses, common frame.
       measurements_a / measurements_b: per-keyframe ``[m, 2]`` (range, bearing).
+      consensus: run boundary-aware co-visibility consensus alignment
+        (``backend.alignment.consensus_align`` with
+        ``session_boundaries=(Ka,)``) and associate at the drift-corrected
+        poses — under heavy per-session drift the fixed gate at the input
+        poses splits exactly the cross-session landmark pairs that carry
+        the loop closures.  The graph still starts from the honest input
+        poses (``association_poses`` semantics).
 
     Returns ``(kf_a_refined, kf_b_refined, info)``.
     """
@@ -270,8 +280,19 @@ def refine_merged_sessions(
     kf = np.concatenate([kf_a, kf_b], axis=0)
     ms = list(measurements_a) + list(measurements_b)
 
+    assoc_kf = None
+    if consensus:
+        from fastslam_tpu.backend.alignment import consensus_align
+
+        assoc_kf, _ainfo = consensus_align(
+            kf, ms, sigma_xy=consensus_sigma_xy,
+            sigma_theta=consensus_sigma_theta,
+            session_boundaries=(ka,),
+        )
+
     graph = build_pose_graph(
         kf, ms, session_boundaries=(ka,),
+        association_poses=assoc_kf,
         association_gate=association_gate,
         max_landmarks=max_landmarks, max_factors=max_factors,
     )

@@ -65,7 +65,7 @@ def make_log(seed, ticks, *, range_noise_std=0.005, starts=None):
 
 
 def run_mode(log, gt, overrides, *, odometry_noise=(0.0, 0.0),
-             chunked=False):
+             chunked=False, chunk_size=8):
     from fastslam_tpu.app.runner import replay_chunked, run_driver
     from fastslam_tpu.config import FastSLAMConfig
     from fastslam_tpu.drivers.replay import ReplayDriver
@@ -73,7 +73,7 @@ def run_mode(log, gt, overrides, *, odometry_noise=(0.0, 0.0),
 
     cfg = FastSLAMConfig(max_landmarks=64, warmup_iterations=150, **overrides)
     if chunked:
-        hist = replay_chunked(log, cfg, chunk_size=8, rng=0,
+        hist = replay_chunked(log, cfg, chunk_size=chunk_size, rng=0,
                               odometry_noise=odometry_noise)
     else:
         hist = run_driver(ReplayDriver(log), cfg, rng=0,
@@ -232,6 +232,12 @@ def section_scale(args):
             num_particles=10_000, parity_mode=False, use_pallas=True),
         "production chunked C=8 (N=100k, TPU)": dict(
             num_particles=100_000, parity_mode=False, use_pallas=True),
+        # the round-4 headline-bench config: 16 ticks per kernel
+        # invocation (resampling every 16 ticks) — this row is the
+        # accuracy backing for bench.py's chunk=16
+        "production chunked C=16 (N=100k, TPU)": dict(
+            num_particles=100_000, parity_mode=False, use_pallas=True,
+            _chunk_size=16),
         "production+fs2 chunked C=8 (N=100k, TPU)": dict(
             num_particles=100_000, parity_mode=False, use_pallas=True,
             proposal_mode="fastslam2"),
@@ -269,7 +275,10 @@ def section_scale(args):
         for name, ov in modes.items():
             rows[name].append(run_mode(log, gt, ov))
         for name, ov in chunked_modes.items():
-            rows[name].append(run_mode(log, gt, ov, chunked=True))
+            ov = dict(ov)
+            cs = ov.pop("_chunk_size", 8)
+            rows[name].append(run_mode(log, gt, ov, chunked=True,
+                                       chunk_size=cs))
         rows[slip_oracle_name].append(
             run_oracle_row(log, gt, args.oracle_particles,
                            odometry_noise=SLIP))
