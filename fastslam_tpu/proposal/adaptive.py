@@ -238,7 +238,17 @@ class OnlineFloorEstimator:
         n_th = max(len(th_w), 1)
         n_al = max(len(al_w), 1)
         q_th_eff = q_th + 1.57 * m_th_data / n_th
-        q_xy_eff = q_xy + 1.57 * m_al_data / n_al
+        # the LATERAL residual is a second, correlation-robust estimate of
+        # the matcher's translation noise: under the reference's
+        # rotation-XOR-translation odometry the command has no lateral
+        # freedom, so lateral ICP-vs-command residual is pure matcher
+        # error.  The two-step consistency q samples only the matcher's
+        # WHITE noise (the three matches share scans, so correlated error
+        # partially cancels in the discrepancy); at high sensor noise that
+        # under-subtraction read as phantom slip and held the floors/dial
+        # open on clean commands (measured: noise-0.03 rows 0.065 vs
+        # production 0.025).  Take the max of the two estimates.
+        q_xy_eff = max(q_xy + 1.57 * m_al_data / n_al, m_lat_data)
 
         # command error variance (quadrature subtraction) and the MMSE
         # command-vs-ICP blend.  The blend is gated on the ABSOLUTE
@@ -254,8 +264,11 @@ class OnlineFloorEstimator:
         # residual moment contaminated by matcher noise — with a prior near
         # the matcher-noise scale, subtracting q from it would zero the
         # unseen-type entry floor to the minimum (the exact failure the
-        # prior exists to prevent)
-        so_xy_d = max((m_al_data + m_lat_data) / 2.0 - q_xy_eff, 0.0)
+        # prior exists to prevent).  The command error itself lives on the
+        # ALONG-track axis (see the lateral rationale above), so the
+        # along-track moment alone is the right basis; lateral matcher
+        # noise must not inflate the floor.
+        so_xy_d = max(m_al_data - q_xy_eff, 0.0)
         so_th_d = max(m_th_data - q_th_eff, 0.0)
         so_xy = (lam_al * config.floor_prior_sigma_xy ** 2
                  + (1 - lam_al) * so_xy_d)
@@ -264,7 +277,7 @@ class OnlineFloorEstimator:
         # blend only once the moment is data-driven (>= 4 samples): with
         # empty windows so equals the config prior and would spuriously
         # report "slip" before a single residual has been seen
-        a_xy = (so_xy / max(m_xy, 1e-12)
+        a_xy = (so_xy / max(m_al, 1e-12)
                 if np.sqrt(so_xy) > blend_min and len(al_w) >= 4 else 0.0)
         # rotation is NEVER blended: the matcher's rotation estimate
         # carries a systematic bias (~4.3 mrad/tick measured) LARGER than
@@ -312,12 +325,9 @@ class OnlineFloorEstimator:
         g_xy = _ramp(fxy, config.fs2_dial_lo_floor, config.fs2_dial_hi_floor)
         g_th = _ramp(fth, config.fs2_dial_lo_floor, config.fs2_dial_hi_floor)
         dial = max(g_xy, g_th) if config.fs2_mode_dial else 1.0
-        so_xy_data = max(max(m_al_data, m_lat_data) - q_xy_eff, 0.0)
-        so_th_data = max(m_th_data - q_th_eff, 0.0)
-
         diag = {"m_xy": m_xy, "m_th": m_th, "q_xy": q_xy_eff,
                 "q_th": q_th_eff, "b_tr": b_al, "b_th": b_th,
-                "so_xy": so_xy_data, "so_th": so_th_data}
+                "so_xy": so_xy_d, "so_th": so_th_d}
         return fxy, fth, a_xy, a_th, dial, diag
 
 
