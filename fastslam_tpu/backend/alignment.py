@@ -260,9 +260,15 @@ def candidate_pairs(
     (consecutive keyframes are already tied by the odometry prior)."""
     xy = kf[:, :2]
     k = len(kf)
-    # K is keyframe count (~1e3), so the [K, K] distance matrix is tiny
-    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
-    i, j = np.nonzero(d2 < radius * radius)
+    if k <= 4096:
+        # at the documented keyframe counts (~1e3) the [K, K] distance
+        # matrix is tiny
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        i, j = np.nonzero(d2 < radius * radius)
+    else:
+        # longer trajectories: the dense matrix is O(K^2) memory — reuse
+        # the grid-bucket sweep (O(K) for bounded spatial density)
+        i, j = _pairs_within(xy, xy, radius, max_pairs_per_a=1 << 16)
     keep = (j - i) >= min_dt
     return np.stack([i[keep], j[keep]], axis=-1)
 
@@ -422,11 +428,18 @@ def consensus_align(
         # solvable even with no cross-session pair)
         wprior = np.array([1.0 / sigma_xy ** 2, 1.0 / sigma_xy ** 2,
                            1.0 / sigma_theta ** 2])
+        # per-component anchor: x/y at the cross-session translation
+        # scale, theta at the cross-session rotation scale — a shared
+        # 1/t_sd^2 weight would leave a later session's rotation gauge
+        # ~600x looser than the stated om_sd model when no cross-session
+        # pair registers
+        wanchor = np.array([1.0 / max(cross_session_t_sd ** 2, 1e-12),
+                            1.0 / max(cross_session_t_sd ** 2, 1e-12),
+                            1.0 / max(cross_session_om_sd ** 2, 1e-12)])
         for s in session_boundaries:
             if 0 < s < k:
                 i0 = 3 * s
-                h[i0:i0 + 3, i0:i0 + 3] += np.eye(3) * (
-                    1.0 / max(cross_session_t_sd ** 2, 1e-12))
+                h[i0:i0 + 3, i0:i0 + 3] += np.diag(wanchor)
         for i in range(k - 1):
             if (i + 1) in session_boundaries:
                 continue

@@ -149,10 +149,12 @@ class OnlineFloorEstimator:
     they arrive, ``read`` the outputs for the NEXT tick's type.
 
     The batched replay and the online per-tick engines share this single
-    implementation, so the two production paths cannot drift apart.
-    Causal: the outputs read before tick t use residuals from ticks < t
-    (online) or <= t (batched replay, where the tick's own match precedes
-    the filter step).  ``push`` and ``read`` are split so the tick being
+    implementation AND the same read-before-push ordering (every path's
+    tick-t outputs use residuals from ticks < t only), so the production
+    paths cannot drift apart — EVAL numbers from the batched adaptive rows
+    are reproducible by the online engine (advisor round 4: the earlier
+    push-then-read batched path saw tick t's own residual one tick early).
+    ``push`` and ``read`` are split so the tick being
     PROPOSED reads its OWN type's floors/blend/dial — with a combined
     update the first tick of every turn would be proposed with the
     translation type's (typically fully annealed) floors, exactly the
@@ -184,14 +186,6 @@ class OnlineFloorEstimator:
             # (chi2_2-scaled — see _var2)
             self.qw_th.push(k, d_ang ** 2 / 3.0)
             self.qw_xy.push(k, d_t2 / 6.0)
-
-    def update(self, k, sr_th=None, sr_al=None, lat=None,
-               d_ang=None, d_t2=None):
-        """push + read in one call — for callers where the tick's own
-        residuals ARE available before its filter step (batched replay)."""
-        self.push(k, sr_th=sr_th, sr_al=sr_al, lat=lat,
-                  d_ang=d_ang, d_t2=d_t2)
-        return self.read(k)
 
     def read(self, k):
         """Outputs for an upcoming tick of type ``k`` (0 = rotation tick,
@@ -335,7 +329,10 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
     """Per-tick proposal floors, odometry blends, and ICP bias estimates
     for a whole recorded run (the batched replay path).
 
-    Causal: the values at tick t use residuals from ticks <= t only."""
+    Causal and online-identical: the values at tick t use residuals from
+    ticks < t only (read-before-push — the same ordering as both online
+    engines, so one log replayed batched or online traces the same
+    floor/blend/dial trajectory)."""
     t_total = len(sr_th)
     floors_xy = np.empty(t_total, np.float32)
     floors_th = np.empty(t_total, np.float32)
@@ -354,9 +351,9 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
         res = (sr_th[t], sr_al[t], lat[t]) if t > 0 else (None, None, None)
         dd = (d_ang[t - 2], d_t2[t - 2]) \
             if d_ang is not None and t >= 2 else (None, None)
-        fxy, fth, a_xy, a_th, g, dg = est.update(
-            k, sr_th=res[0], sr_al=res[1], lat=res[2],
-            d_ang=dd[0], d_t2=dd[1])
+        fxy, fth, a_xy, a_th, g, dg = est.read(k)
+        est.push(k, sr_th=res[0], sr_al=res[1], lat=res[2],
+                 d_ang=dd[0], d_t2=dd[1])
         floors_xy[t], floors_th[t] = fxy, fth
         blend_xy[t], blend_th[t] = a_xy, a_th
         bias_tr[t], bias_th[t] = dg["b_tr"], dg["b_th"]

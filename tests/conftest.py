@@ -15,9 +15,21 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual-device collectives on a 2-core box: co-tenant load (or the
+# suite's own second core being busy) can starve a device thread past
+# XLA's default 20 s warn / 40 s TERMINATE rendezvous timeouts, which
+# kills the whole pytest process as an unattributable `Fatal Python
+# error` instead of failing one test.  Raise them so a genuinely stuck
+# collective surfaces as ONE identifiable hanging test (killed by the
+# suite's outer `timeout`), not a suite-wide abort.  (CLAUDE.md;
+# scripts/bench_backend_1m.py applies the same mitigation.)
+if "xla_cpu_collective_call" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402  (sitecustomize may have imported it already)
 import pytest  # noqa: E402
