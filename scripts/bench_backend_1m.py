@@ -7,9 +7,21 @@ landmark/factor counts, dropped-factor count (must be 0), and the error
 trajectory.  Runs on the virtual 8-device CPU mesh (the backend is mesh-
 generic; on a pod the same code shards over real chips).
 
+``--platform tpu`` runs the SAME optimize on a single-device map mesh on
+the real TPU chip (build + consensus alignment stay host-side, as in a
+deployment): the sparse factor-pair Schur path fits one v5e at this scale
+(obs/pair arrays are O(F); the dense [K, L] path would not), matmul
+precision is pinned to HIGHEST (f32 matmuls otherwise run as bf16 MXU
+passes — CLAUDE.md numerics), and the result is asserted against the
+committed CPU-mesh artifact.  Writes ``eval_results/backend_1m_tpu.json``.
+This also side-steps the XLA *CPU* all-reduce rendezvous stall documented
+in PLAN.md — the TPU program has no CPU collectives (and at one device the
+psum is the identity).
+
 Usage:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
       python scripts/bench_backend_1m.py [--landmarks 1000000] [--iters 4]
+  python scripts/bench_backend_1m.py --platform tpu [--iters 4]
 """
 
 import argparse
@@ -134,6 +146,7 @@ def run(n_landmarks=1_000_000, k=256, iters=8, n_devices=8,
         f"need {n_devices} devices; start python with XLA_FLAGS="
         f"--xla_force_host_platform_device_count={n_devices}"
     )
+    platform = devs[0].platform
     mesh = Mesh(devs, ("map",))
 
     t0 = time.monotonic()
@@ -199,6 +212,7 @@ def run(n_landmarks=1_000_000, k=256, iters=8, n_devices=8,
     peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
     return {
+        "platform": platform,
         "n_landmarks_requested": n_landmarks,
         "n_landmarks_built": n_lm,
         "n_factors": n_f,
@@ -230,6 +244,10 @@ def main():
     ap.add_argument("--keyframes", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu",
+                    help="cpu: 8-device virtual mesh; tpu: single-device "
+                    "map mesh on the real chip (serialize with other TPU "
+                    "work — the tunnel admits one process)")
     args = ap.parse_args()
 
     # 8 virtual-device collectives on a 2-core box: any co-tenant load can
@@ -244,15 +262,40 @@ def main():
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # the sitecustomize default (axon,cpu) already targets the chip;
+        # pin matmul precision — the 3Kx3K pose-system Cholesky/solve and
+        # the Schur einsums must not quantize through bf16 MXU passes
+        jax.config.update("jax_default_matmul_precision", "highest")
+        args.devices = 1
+        assert jax.devices()[0].platform not in ("cpu",), (
+            "no TPU visible; drop --platform tpu")
 
     out = run(args.landmarks, k=args.keyframes, iters=args.iters,
               n_devices=args.devices)
     os.makedirs(RESULTS, exist_ok=True)
-    path = os.path.join(RESULTS, "backend_1m.json")
+    name = "backend_1m_tpu.json" if args.platform == "tpu" \
+        else "backend_1m.json"
+    path = os.path.join(RESULTS, name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+    if args.platform == "tpu":
+        # parity vs the committed CPU-mesh artifact: same world (seed 1),
+        # same builder output, so the optimized error must land in the
+        # same place — the solve paths differ only in mesh size/platform
+        cpu_path = os.path.join(RESULTS, "backend_1m.json")
+        if os.path.exists(cpu_path):
+            with open(cpu_path) as f:
+                cpu = json.load(f)
+            a, b = (out["mean_keyframe_error_after_gauge_aligned_m"],
+                    cpu["mean_keyframe_error_after_gauge_aligned_m"])
+            assert abs(a - b) < 0.05 + 0.25 * b, (
+                f"TPU vs CPU-mesh optimize diverged: {a} vs {b}")
+            print(f"parity vs CPU-mesh artifact OK: {a:.4f} vs {b:.4f}",
+                  file=sys.stderr)
     assert out["dropped_factors"] == 0, "factors dropped — raise capacity"
     assert out["n_landmarks_built"] >= 1_000_000 or \
         args.landmarks < 1_000_000

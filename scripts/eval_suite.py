@@ -241,6 +241,12 @@ def section_scale(args):
         "production+fs2 chunked C=8 (N=100k, TPU)": dict(
             num_particles=100_000, parity_mode=False, use_pallas=True,
             proposal_mode="fastslam2"),
+        # accuracy backing for the fs2 bench config at chunk 16 (the
+        # round-5 fs2 sweep — resampling every 16 ticks with the
+        # measurement-informed proposal)
+        "production+fs2 chunked C=16 (N=100k, TPU)": dict(
+            num_particles=100_000, parity_mode=False, use_pallas=True,
+            proposal_mode="fastslam2", _chunk_size=16),
         # the accuracy-flagship stack at north-star scale: fs2 proposal +
         # batched ICP + adaptive floors on the chunked engine
         "production+fs2+adaptive chunked C=8 (N=10k, TPU)": dict(
