@@ -240,14 +240,41 @@ def landmark_system(poses, landmarks, g: PoseGraph, damping: jax.Array):
     return hpp_diag, bp_obs, cross, rs_corr, hll_inv, bl, hpl_dense
 
 
-def landmark_system_sparse(poses, landmarks, g: PoseGraph, damping: jax.Array,
-                           pair_a: jax.Array, pair_b: jax.Array,
-                           pair_valid: jax.Array):
+def _obs_geometry_cols(poses, lx, ly, obs_kf, obs_lm, rb0, rb1):
+    """Per-factor residuals + geometry as COLUMN VECTORS ([F] each).
+
+    TPU layout note (load-bearing, the reason this exists): any ``[F, 2]``
+    / ``[F, 3, 2]`` array tiles its trailing dims up to (8, 128)/(4, 128)
+    on TPU — a 40-60x memory blowup that put the einsum formulation of the
+    sparse path at 37 GB for a 970 MB problem (2.6% utilization OOM,
+    round 5).  1-D ``[F]`` vectors tile densely, so every per-factor
+    quantity here is a separate column — the same struct-of-planes design
+    as the filter kernels (core/pallas_kernels.py)."""
+    px = poses[:, 0][obs_kf]
+    py = poses[:, 1][obs_kf]
+    pt = poses[:, 2][obs_kf]
+    dx = lx[obs_lm] - px
+    dy = ly[obs_lm] - py
+    q = jnp.maximum(dx * dx + dy * dy, 1e-12)
+    rr = jnp.sqrt(q)
+    r0 = rb0 - rr                                     # range residual
+    r1 = wrap_angle(rb1 - (jnp.arctan2(dy, dx) - pt))  # bearing residual
+    return r0, r1, dx, dy, q, rr
+
+
+def landmark_system_sparse(poses, lx, ly, damping,
+                           obs_kf, obs_lm, rb0, rb1, w0, w1, obs_valid,
+                           pair_a, pair_b, pair_valid):
     """Factor-sparse Schur reduction — identical math to
     :func:`landmark_system` with the dense ``[K, L, 3, 2]`` assembly
     replaced by per-factor scatters, so memory is O(F + K^2) instead of
     O(K*L).  This is what makes 1M-landmark graphs optimizable: at K=1024,
     L=2^21 the dense intermediates alone are >100 GB.
+
+    All per-factor/per-landmark state is carried as COLUMN VECTORS
+    (``lx``/``ly`` landmark coordinates, ``rb0``/``rb1`` range/bearing,
+    ``w0``/``w1`` information) — see :func:`_obs_geometry_cols` for why
+    this layout is required on TPU.
 
     ``cross[k, m] = sum_l (sum_{f1 in l, kf=k} Hpl_f1) Hll_l^-1
     (sum_{f2 in l, kf=m} Hpl_f2)^T`` expands into a sum over ORDERED pairs
@@ -257,78 +284,140 @@ def landmark_system_sparse(poses, landmarks, g: PoseGraph, damping: jax.Array,
     sum_l c_l^2 ~ (obs/landmark) * F — see
     ``distributed.build_schur_pairs``.
 
-    Returns ``(hpp_diag, bp_obs, cross, rs_corr, hll_inv, bl, hpl_f)``;
-    ``hpl_f [F, 3, 2]`` feeds :func:`backsubstitute_landmarks_sparse`.
+    Returns ``(hpp_diag [K,3,3], bp_obs [K,3], cross [K,K,3,3],
+    rs_corr [K,3], hll_inv_c (ia, ib, id) [L] each, bl_c (bl0, bl1),
+    hpl_c (6 x [F] — components (p, a), p-major))``; the last three feed
+    :func:`backsubstitute_landmarks_sparse`.
     """
     k = poses.shape[0]
-    l = landmarks.shape[0]
+    l = lx.shape[0]
 
-    r_obs, (odx, ody, q, rr) = _obs_residuals(poses, landmarks, g)
-    w_obs = jnp.where(g.obs_valid[:, None], g.obs_info, 0.0)      # [F, 2]
+    r0, r1, dx, dy, q, rr = _obs_geometry_cols(poses, lx, ly, obs_kf,
+                                               obs_lm, rb0, rb1)
+    v = obs_valid.astype(r0.dtype)
+    wr = v * w0
+    wb = v * w1
 
-    jl = jnp.stack([
-        jnp.stack([odx / rr, ody / rr], -1),
-        jnp.stack([-ody / q, odx / q], -1),
-    ], axis=1)                                                    # [F, 2, 2]
-    fzeros = jnp.zeros_like(rr)
-    jp = jnp.stack([
-        jnp.stack([-odx / rr, -ody / rr, fzeros], -1),
-        jnp.stack([ody / q, -odx / q, -jnp.ones_like(rr)], -1),
-    ], axis=1)                                                    # [F, 2, 3]
+    # landmark Jacobian rows: range (l00, l01), bearing (l10, l11)
+    l00 = dx / rr
+    l01 = dy / rr
+    l10 = -dy / q
+    l11 = dx / q
+    # pose Jacobian rows: range (-l00, -l01, 0), bearing (-l10, -l11, -1)
 
-    wjl = jl * w_obs[:, :, None]
-    wjp = jp * w_obs[:, :, None]
+    # Hpp_f[p][q] = wr p0p p0q + wb p1p p1q  (symmetric; p02 = 0, p12 = -1)
+    h00 = wr * l00 * l00 + wb * l10 * l10
+    h01 = wr * l00 * l01 + wb * l10 * l11
+    h02 = wb * l10                   # (-l10)(-1) wb
+    h11 = wr * l01 * l01 + wb * l11 * l11
+    h12 = wb * l11
+    h22 = wb                         # (-1)^2 wb
+    hpp_diag = _assemble_sym3(k, obs_kf, h00, h01, h02, h11, h12, h22)
 
-    hpp_f = jnp.einsum("fip,fiq->fpq", jp, wjp)     # [F, 3, 3]
-    hll_f = jnp.einsum("fia,fib->fab", jl, wjl)     # [F, 2, 2]
-    hpl_f = jnp.einsum("fip,fia->fpa", wjp, jl)     # [F, 3, 2]
-    bp_f = jnp.einsum("fip,fi->fp", wjp, r_obs)     # [F, 3]
-    bl_f = jnp.einsum("fia,fi->fa", wjl, r_obs)     # [F, 2]
+    # bp_f[p] = wr p0p r0 + wb p1p r1
+    wr0 = wr * r0
+    wb1 = wb * r1
+    bp0 = -(wr0 * l00 + wb1 * l10)
+    bp1 = -(wr0 * l01 + wb1 * l11)
+    bp2 = -wb1
+    bp_obs = jnp.stack([
+        jnp.zeros(k).at[obs_kf].add(bp0),
+        jnp.zeros(k).at[obs_kf].add(bp1),
+        jnp.zeros(k).at[obs_kf].add(bp2),
+    ], axis=-1)
 
-    hpp_diag = jnp.zeros((k, 3, 3)).at[g.obs_kf].add(hpp_f)
-    bp_obs = jnp.zeros((k, 3)).at[g.obs_kf].add(bp_f)
+    # Hll_f (symmetric 2x2) and bl_f, scattered per landmark slot
+    ha = jnp.zeros(l).at[obs_lm].add(wr * l00 * l00 + wb * l10 * l10) \
+        + damping
+    hb = jnp.zeros(l).at[obs_lm].add(wr * l00 * l01 + wb * l10 * l11)
+    hd = jnp.zeros(l).at[obs_lm].add(wr * l01 * l01 + wb * l11 * l11) \
+        + damping
+    bl0 = jnp.zeros(l).at[obs_lm].add(wr0 * l00 + wb1 * l10)
+    bl1 = jnp.zeros(l).at[obs_lm].add(wr0 * l01 + wb1 * l11)
 
-    hll = jnp.zeros((l, 2, 2)).at[g.obs_lm].add(hll_f)
-    bl = jnp.zeros((l, 2)).at[g.obs_lm].add(bl_f)
-    hll = hll + damping * jnp.eye(2)[None, :, :]
-
-    a = hll[:, 0, 0]
-    b = hll[:, 0, 1]
-    c2 = hll[:, 1, 0]
-    d = hll[:, 1, 1]
-    det = a * d - b * c2
+    det = ha * hd - hb * hb
     observed = det > 1e-12
     inv_det = jnp.where(observed, 1.0 / jnp.where(observed, det, 1.0), 0.0)
-    hll_inv = jnp.stack([
-        jnp.stack([d, -b], -1), jnp.stack([-c2, a], -1)
-    ], axis=1) * inv_det[:, None, None]
+    ia = hd * inv_det
+    ib = -hb * inv_det
+    id_ = ha * inv_det
 
-    # per-factor Hpl Hll^-1 (hll_inv is per-landmark, multiplication is
-    # linear, so summing ghl_f per landmark == multiplying the summed Hpl)
-    ghl_f = jnp.einsum("fpa,fab->fpb", hpl_f, hll_inv[g.obs_lm])  # [F, 3, 2]
+    # Hpl_f components (p, a): hpl[p][a] = wr p0p l0a + wb p1p l1a
+    hpl00 = -(wr * l00 * l00 + wb * l10 * l10)
+    hpl01 = -(wr * l00 * l01 + wb * l10 * l11)
+    hpl10 = hpl01                      # wr l01 l00 + wb l11 l10, negated
+    hpl11 = -(wr * l01 * l01 + wb * l11 * l11)
+    hpl20 = -wb * l10
+    hpl21 = -wb * l11
 
-    # cross via the ordered factor-pair list (scatter into [K, K, 3, 3])
-    pair_cross = jnp.einsum(
-        "fpb,fqb->fpq", ghl_f[pair_a], hpl_f[pair_b]
-    ) * pair_valid[:, None, None].astype(hpl_f.dtype)             # [Pp, 3, 3]
-    cross = jnp.zeros((k, k, 3, 3)).at[
-        g.obs_kf[pair_a], g.obs_kf[pair_b]
-    ].add(pair_cross)
+    # per-factor Hpl Hll^-1 (hll_inv per landmark; multiplication linear,
+    # so summing ghl_f per landmark == multiplying the summed Hpl)
+    ia_f = ia[obs_lm]
+    ib_f = ib[obs_lm]
+    id_f = id_[obs_lm]
+    ghl00 = hpl00 * ia_f + hpl01 * ib_f
+    ghl01 = hpl00 * ib_f + hpl01 * id_f
+    ghl10 = hpl10 * ia_f + hpl11 * ib_f
+    ghl11 = hpl10 * ib_f + hpl11 * id_f
+    ghl20 = hpl20 * ia_f + hpl21 * ib_f
+    ghl21 = hpl20 * ib_f + hpl21 * id_f
 
-    # rs correction is per-factor (no pairs): sum_f onehot(kf) ghl_f bl[lm_f]
-    rs_corr = jnp.zeros((k, 3)).at[g.obs_kf].add(
-        jnp.einsum("fpb,fb->fp", ghl_f, bl[g.obs_lm])
-    )
-    return hpp_diag, bp_obs, cross, rs_corr, hll_inv, bl, hpl_f
+    # cross via the ordered factor-pair list: 9 [K, K] plane scatters
+    pv = pair_valid.astype(r0.dtype)
+    kfa = obs_kf[pair_a]
+    kfb = obs_kf[pair_b]
+    ghl = ((ghl00, ghl01), (ghl10, ghl11), (ghl20, ghl21))
+    hpl = ((hpl00, hpl01), (hpl10, hpl11), (hpl20, hpl21))
+    planes = []
+    for p in range(3):
+        gp0 = ghl[p][0][pair_a]
+        gp1 = ghl[p][1][pair_a]
+        for qq in range(3):
+            pc = pv * (gp0 * hpl[qq][0][pair_b] + gp1 * hpl[qq][1][pair_b])
+            planes.append(jnp.zeros((k, k)).at[kfa, kfb].add(pc))
+    cross = jnp.stack(planes, axis=-1).reshape(k, k, 3, 3)
+
+    # rs correction is per-factor (no pairs): sum_f onehot(kf) ghl_f bl[lm]
+    bl0_f = bl0[obs_lm]
+    bl1_f = bl1[obs_lm]
+    rs_corr = jnp.stack([
+        jnp.zeros(k).at[obs_kf].add(ghl00 * bl0_f + ghl01 * bl1_f),
+        jnp.zeros(k).at[obs_kf].add(ghl10 * bl0_f + ghl11 * bl1_f),
+        jnp.zeros(k).at[obs_kf].add(ghl20 * bl0_f + ghl21 * bl1_f),
+    ], axis=-1)
+    return (hpp_diag, bp_obs, cross, rs_corr, (ia, ib, id_), (bl0, bl1),
+            (hpl00, hpl01, hpl10, hpl11, hpl20, hpl21))
 
 
-def backsubstitute_landmarks_sparse(dp, hll_inv, bl, hpl_f, g: PoseGraph):
+def _assemble_sym3(k, idx, h00, h01, h02, h11, h12, h22):
+    """Scatter six symmetric-3x3 component columns into [K, 3, 3]."""
+    s = lambda v: jnp.zeros(k).at[idx].add(v)
+    a00, a01, a02 = s(h00), s(h01), s(h02)
+    a11, a12, a22 = s(h11), s(h12), s(h22)
+    return jnp.stack([
+        jnp.stack([a00, a01, a02], -1),
+        jnp.stack([a01, a11, a12], -1),
+        jnp.stack([a02, a12, a22], -1),
+    ], axis=1)
+
+
+def backsubstitute_landmarks_sparse(dp, hll_inv_c, bl_c, hpl_c,
+                                    obs_kf, obs_lm, l):
     """dl = Hll^-1 (bl - Hpl' dp) with the Hpl' dp contraction as a
-    per-factor segment sum — no dense [K, L] assembly."""
-    l = hll_inv.shape[0]
-    hplT_dp_f = jnp.einsum("fpb,fp->fb", hpl_f, dp[g.obs_kf])     # [F, 2]
-    hplT_dp = jnp.zeros((l, 2)).at[g.obs_lm].add(hplT_dp_f)
-    return jnp.einsum("lab,lb->la", hll_inv, bl - hplT_dp)
+    per-factor segment sum — no dense [K, L] assembly.  Column-vector
+    layout throughout (see :func:`_obs_geometry_cols`); returns
+    ``(dlx [L], dly [L])``."""
+    ia, ib, id_ = hll_inv_c
+    bl0, bl1 = bl_c
+    hpl00, hpl01, hpl10, hpl11, hpl20, hpl21 = hpl_c
+    dp0 = dp[:, 0][obs_kf]
+    dp1 = dp[:, 1][obs_kf]
+    dp2 = dp[:, 2][obs_kf]
+    t0 = hpl00 * dp0 + hpl10 * dp1 + hpl20 * dp2
+    t1 = hpl01 * dp0 + hpl11 * dp1 + hpl21 * dp2
+    u0 = bl0 - jnp.zeros(l).at[obs_lm].add(t0)
+    u1 = bl1 - jnp.zeros(l).at[obs_lm].add(t1)
+    return ia * u0 + ib * u1, ib * u0 + id_ * u1
 
 
 def schur_normal_equations(poses, landmarks, g: PoseGraph, damping: jax.Array):

@@ -66,8 +66,28 @@ def test_sharded_gn_step_matches_single_device(mesh, sparse):
 
     g8, _ = shard_pose_graph(g, 8)
     step = make_sharded_gn_step(mesh, sparse=sparse)
-    extra = build_schur_pairs(g8, 8) if sparse else ()
-    p_got, l_got = step(g8, damp, *extra)
+    if sparse:
+        # the sparse step takes COLUMN vectors (pose_graph.
+        # _obs_geometry_cols TPU layout note)
+        pair_a, pair_b, pair_valid = build_schur_pairs(g8, 8)
+        rb = np.asarray(g8.obs_rb, np.float32)
+        wi = np.asarray(g8.obs_info, np.float32)
+        lm = np.asarray(g8.landmarks, np.float32)
+        p_got, lx, ly = step(
+            jnp.asarray(np.asarray(g8.poses, np.float32)),
+            jnp.asarray(lm[:, 0].copy()), jnp.asarray(lm[:, 1].copy()),
+            jnp.asarray(g8.odo_rel), jnp.asarray(g8.odo_info),
+            jnp.asarray(g8.odo_valid),
+            jnp.asarray(np.asarray(g8.obs_kf, np.int32)),
+            jnp.asarray(np.asarray(g8.obs_lm, np.int32)),
+            jnp.asarray(rb[:, 0].copy()), jnp.asarray(rb[:, 1].copy()),
+            jnp.asarray(wi[:, 0].copy()), jnp.asarray(wi[:, 1].copy()),
+            jnp.asarray(np.asarray(g8.obs_valid)),
+            jnp.asarray(g8.prior_info),
+            damp, pair_a, pair_b, pair_valid)
+        l_got = np.stack([np.asarray(lx), np.asarray(ly)], axis=-1)
+    else:
+        p_got, l_got = step(g8, damp)
 
     np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_want),
                                rtol=1e-4, atol=1e-4)
