@@ -113,6 +113,9 @@ class SLAMRunner:
         self._floor_xy = config.proposal_xy_floor
         self._floor_th = config.proposal_theta_floor
         self._blend_xy = 0.0
+        self._blend_th = 0.0
+        self._bias_th = 0.0
+        self._lat_gate = 1.0
         self._dial = 0.0 if self._adaptive_floors else 1.0
         self._prev_cmd = (0.0, 0.0)
         self._prev_se2 = (0.0, 0.0, 0.0)
@@ -218,9 +221,11 @@ class SLAMRunner:
                 # identical to the fused path's unconditional pre-dispatch
                 # read
                 k = int(v != 0)
-                fxy, fth, a_xy, _a_th, dial, _d = self._floor_est.read(k)
+                fxy, fth, a_xy, a_th, dial, d0 = self._floor_est.read(k)
                 self._floor_xy, self._floor_th = fxy, fth
                 self._blend_xy = a_xy
+                self._blend_th = a_th
+                self._bias_th = d0["b_th"]
                 self._dial = dial
             return rotation, translation
 
@@ -244,7 +249,13 @@ class SLAMRunner:
         ang, t_comp = match(prev[0], prev[1], -rotation,
                             np.array([-translation, 0.0], np.float32))
         if v != 0:
-            icp_rot, icp_trans = 0.0, float(np.linalg.norm(t_comp))
+            # SIGNED along-track estimate: a perfect match gives
+            # t_comp = (-trans, 0), so -t_comp[0] recovers trans WITH its
+            # sign.  The reference-parity |t| norm (robot.py:90-120,
+            # icp_odometry) re-signs a negative (slip-corrupted) command
+            # positive when the matcher tracks it — measured injecting
+            # 2x-command errors on slip seed 3 (round-5 forensics).
+            icp_rot, icp_trans = 0.0, float(-t_comp[0])
         else:
             icp_rot, icp_trans = float(-ang), 0.0
 
@@ -283,12 +294,23 @@ class SLAMRunner:
             # (residuals through t-1, this tick's OWN type k), so the two
             # production paths cannot drift apart; also causal for the
             # blend (the residual measures the very match being blended)
-            fxy, fth, a_xy, _a_th, dial, _diag = self._floor_est.read(k)
+            fxy, fth, a_xy, a_th, dial, diag = self._floor_est.read(k)
             a_t = a_xy
-            a_r = 0.0             # rotation never blended (adaptive.py)
+            # rotation blend is gated (engages only under sustained
+            # rotation slip) and uses the DEBIASED match — adaptive.py
+            a_r = a_th
+            if a_r and v == 0:
+                icp_rot -= diag["b_th"]
+            # per-tick match-failure gate: the lateral residual is pure
+            # matcher error — a failed (aliased) match must fall back to
+            # the command for this tick (config.blend_match_gate)
+            if abs(float(t_comp[1])) > diag["lat_gate"]:
+                a_t = a_r = 0.0
             self._floor_est.push(k, **kw)
             self._floor_xy, self._floor_th = fxy, fth
             self._blend_xy = a_xy
+            self._blend_th = a_th
+            self._bias_th = diag["b_th"]
             self._dial = dial
         else:
             self._prev_cmd = (float(rotation), float(translation))
@@ -341,7 +363,7 @@ class SLAMRunner:
         def fused(state, tracks, pts, valid, prev_pts, prev_valid,
                   prev2_pts, prev2_valid, rotation, translation,
                   rot_prev, trans_prev, v_active, has_prev, fxy, fth, a_xy,
-                  dial):
+                  a_th, b_th, lat_gate, dial):
             rotation = jnp.float32(rotation)
             translation = jnp.float32(translation)
             ang = jnp.float32(0.0)
@@ -362,10 +384,14 @@ class SLAMRunner:
                 t_comp = (rotate_points(
                     jnp.stack([-translation, jnp.float32(0.0)]), res.theta)
                     + res.translation)
-                icp_trans = jnp.where(
-                    v_active, jnp.sqrt(jnp.sum(t_comp * t_comp)), 0.0
-                )
-                icp_rot = jnp.where(v_active, 0.0, -ang)
+                # SIGNED along-track estimate (-t_comp[0]): the |t| norm
+                # re-signs a negative slip-corrupted command positive
+                # (split-path icp_refine rationale)
+                icp_trans = jnp.where(v_active, -t_comp[0], 0.0)
+                # rotation-tick match, DEBIASED by the estimator's running
+                # bias estimate (only consumed when the gated rotation
+                # blend a_th is nonzero — adaptive.py)
+                icp_rot = jnp.where(v_active, 0.0, -ang - jnp.float32(b_th))
                 if floors_on:
                     # direct two-step match scan(t-2)->scan(t) for the
                     # online matcher-noise calibration (the host estimator
@@ -382,10 +408,17 @@ class SLAMRunner:
                     dir_ang = warm2_ang + res2.theta
                     dir_t = (rotate_points(warm2_t, res2.theta)
                              + res2.translation)
-                    # translation-only MMSE blend from the host estimator
-                    # (rotation is never blended — adaptive.py rationale)
-                    a_r = jnp.float32(0.0)
-                    a_t = jnp.float32(a_xy)
+                    # MMSE blends from the host estimator; the rotation
+                    # blend is gated (nonzero only under sustained
+                    # rotation slip — adaptive.py rationale).  Per-tick
+                    # match-failure gate: the lateral residual is pure
+                    # matcher error, so a tick far outside the running
+                    # lateral scale is a failed match — fall back to the
+                    # command for this tick (config.blend_match_gate)
+                    match_ok = (jnp.abs(t_comp[1])
+                                < jnp.float32(lat_gate)).astype(jnp.float32)
+                    a_r = jnp.float32(a_th) * match_ok
+                    a_t = jnp.float32(a_xy) * match_ok
                 else:
                     a_r = a_t = jnp.float32(config.icp_blend)
                 rotation = jnp.where(
@@ -458,9 +491,12 @@ class SLAMRunner:
             # update, every type transition traced the OTHER type's floors
             # (e.g. entering each turn at the translation type's fully
             # annealed theta floor — advisor round 3)
-            fxy, fth, a_xy, _a_th, dial, _diag = self._floor_est.read(k)
+            fxy, fth, a_xy, a_th, dial, diag = self._floor_est.read(k)
             self._floor_xy, self._floor_th = fxy, fth
             self._blend_xy = a_xy
+            self._blend_th = a_th
+            self._bias_th = diag["b_th"]
+            self._lat_gate = diag["lat_gate"]
             self._dial = dial
         self.state, tracks, out = self._fused(
             self.state, tracks, pts, vld, prev_pts, prev_valid,
@@ -469,7 +505,9 @@ class SLAMRunner:
             np.float32(rot_prev), np.float32(trans_prev),
             bool(v != 0), bool(has_prev),
             np.float32(self._floor_xy), np.float32(self._floor_th),
-            np.float32(self._blend_xy), np.float32(self._dial),
+            np.float32(self._blend_xy), np.float32(self._blend_th),
+            np.float32(self._bias_th), np.float32(self._lat_gate),
+            np.float32(self._dial),
         )
         if self.config.track_corners:
             self._tracks = tracks
@@ -831,7 +869,8 @@ def replay_chunked(
                 prev_p, cur_p, prev_v, cur_v, -rot,
                 jnp.stack([-tr, jnp.float32(0.0)]),
             )
-            icp_tr = jnp.where(va, jnp.sqrt(jnp.sum(t_comp * t_comp)), 0.0)
+            # SIGNED along-track estimate (Runner.icp_refine rationale)
+            icp_tr = jnp.where(va, -t_comp[0], 0.0)
             icp_rot = jnp.where(va, 0.0, -ang)
             return icp_rot, icp_tr, ang, t_comp
 
@@ -885,10 +924,21 @@ def replay_chunked(
             floors_xy, floors_th = sched.floors_xy, sched.floors_th
             dial_sched = sched.dial
             a_r, a_t = sched.blend_th, sched.blend_xy
-            # no debias: translation ICP is unbiased (measured), rotation
-            # is never blended (adaptive.py rationale) — subtracting a
-            # slip-contaminated bias estimate would inject a correlated
-            # error that integrates over the run
+            # translation ICP is unbiased (measured) — no debias.  The
+            # rotation blend is gated (nonzero only under sustained
+            # rotation slip) and consumes the DEBIASED match: subtract
+            # the estimator's running rotation-bias estimate on rotation
+            # ticks (adaptive.py rationale; same semantics as both
+            # online paths)
+            icp_rots = np.where(v_active, icp_rots,
+                                icp_rots - sched.bias_th).astype(np.float32)
+            # per-tick match-failure gate: |lateral residual| is pure
+            # matcher error — zero this tick's blends on a failed match
+            # (config.blend_match_gate; same semantics as both online
+            # paths)
+            bad = np.abs(lat) > sched.lat_gate
+            a_r = np.where(bad, 0.0, a_r).astype(np.float32)
+            a_t = np.where(bad, 0.0, a_t).astype(np.float32)
         else:
             a_r = a_t = np.full(t_total, config.icp_blend, np.float32)
         blend = np.arange(t_total) > 0  # tick 0 has no previous scan

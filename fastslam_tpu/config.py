@@ -142,6 +142,33 @@ class FastSLAMConfig:
     # at worst comparable to scan-match accuracy and blending only hurts
     # (proposal/adaptive.py gate rationale)
     blend_min_sigma: float = 0.008
+    # rotation blend gate (rad).  Rotation blending carries an extra cost
+    # translation does not: the matcher has a systematic rotation bias
+    # (~4.3 mrad/tick measured on the standard drive) larger than its white
+    # noise, and the online bias estimate is itself slip-contaminated — so
+    # the gate must sit well above the bias scale.  Below it, rotation is
+    # never blended (the round-3 contract); above it — sustained rotation
+    # slip, where per-tick command error is several times the bias — the
+    # debiased match is blended MMSE-style exactly like translation.
+    # Measured motivation (round-5 seed-3 slip forensics,
+    # eval_results/slip_diag_seed3_slip.json): a 31-rotation-tick turn with
+    # 0.113 rad integrated command error and n_meas ~= 1 (too few landmarks
+    # to correct from measurements) while the matcher tracked the slip to
+    # 3-6 mrad/tick — discarding it held the ATE at 4x the sibling seeds.
+    blend_min_sigma_theta: float = 0.008
+    # per-tick match-failure gate on the blend, in sigmas of the
+    # estimator's LATERAL residual scale.  The lateral ICP-vs-command
+    # residual is pure matcher error (the rotation-XOR-translation
+    # command has no lateral freedom), so a tick whose lateral residual
+    # is far outside the running lateral scale is a failed match —
+    # blending it would inject the failure directly into the odometry.
+    # Measured motivation (round-5 seed-3 slip forensics): one aliased
+    # match right after a turn returned |t| = 0.17 m for a 5 mm commanded
+    # tick (lateral residual 0.137 m ~ 70 sigma) and, blended at
+    # a_xy = 0.96, whipped the trajectory 0.145 m in one tick — the
+    # single largest contributor to that seed's 4x ATE outlier.  Gated
+    # ticks fall back to the command for that tick only.
+    blend_match_gate: float = 8.0
     # fs2 proposal MODE DIAL (adaptive stack only): trace a scalar g in
     # [0, 1] into the kernel that scales every measurement's Lambda/eta
     # contribution to the proposal, interpolating continuously between the

@@ -57,6 +57,8 @@ class FloorSchedule(NamedTuple):
     #                         from icp_rots before blending)
     dial: np.ndarray        # [T] fs2 proposal mode dial in [0, 1]
     #                         (kernels.fastslam2_propose evidence_scale)
+    lat_gate: np.ndarray    # [T] per-tick match-failure gate: blend only
+    #                         when |lateral residual| < lat_gate
     diag: dict              # moment traces for tests / debugging
 
 
@@ -273,17 +275,26 @@ class OnlineFloorEstimator:
         # report "slip" before a single residual has been seen
         a_xy = (so_xy / max(m_al, 1e-12)
                 if np.sqrt(so_xy) > blend_min and len(al_w) >= 4 else 0.0)
-        # rotation is NEVER blended: the matcher's rotation estimate
-        # carries a systematic bias (~4.3 mrad/tick measured) LARGER than
-        # its white noise, the bias is only estimable from residuals that
-        # slip also contaminates (a windowed-median debias injects a
-        # slowly-varying correlated error that integrates to ~0.4 m over a
-        # run), and the drive's rotation ticks cluster into turns so the
-        # estimator would finish learning only after the turn it was
-        # needed for.  Rotation slip is handled where it is safe to
-        # handle: the proposal floor opens to the estimated slip scale on
-        # rotation ticks and the filter corrects from landmarks.
-        a_th = 0.0
+        # rotation blending is GATED, not banned (round-5 revision of the
+        # round-3 "never blend" rule).  The round-3 rationale stands below
+        # the gate: the matcher's rotation estimate carries a systematic
+        # bias (~4.3 mrad/tick measured) LARGER than its white noise, and
+        # the windowed-median debias carries slip-contaminated sampling
+        # error — on clean logs blending injects more than it removes, so
+        # a_th stays 0 there.  But sustained ROTATION SLIP breaks the
+        # trade: measured on the slip seed-3 drive
+        # (eval_results/slip_diag_seed3_slip.json), a 31-rotation-tick
+        # turn accumulated 0.113 rad of command error with n_meas ~= 1
+        # (too few landmarks for the filter to absorb it via the open
+        # floor) while the matcher tracked the slip to 3-6 mrad/tick —
+        # the floor-only policy held that seed at 4x its siblings.  Above
+        # ``blend_min_sigma_theta`` (set well above the bias scale) the
+        # DEBIASED match is blended MMSE-style exactly like translation;
+        # the floor then tracks the blended odometry's (much smaller)
+        # error via the same (1-a)^2/a^2 formula.
+        a_th = (so_th / max(m_th, 1e-12)
+                if (np.sqrt(so_th) > config.blend_min_sigma_theta
+                    and len(th_w) >= 4) else 0.0)
         # the floor must match the error of the odometry the filter will
         # actually receive — the BLENDED one: var((1-a) cmd + a icp') =
         # (1-a)^2 sigma_odo^2 + a^2 sigma_icp'^2.  At a=0 that is the
@@ -319,9 +330,15 @@ class OnlineFloorEstimator:
         g_xy = _ramp(fxy, config.fs2_dial_lo_floor, config.fs2_dial_hi_floor)
         g_th = _ramp(fth, config.fs2_dial_lo_floor, config.fs2_dial_hi_floor)
         dial = max(g_xy, g_th) if config.fs2_mode_dial else 1.0
+        # per-tick match-failure gate for the blend: a tick whose LATERAL
+        # residual (pure matcher error — see q_xy_eff rationale) exceeds
+        # this many sigmas of the running lateral scale is a failed match
+        # and must not be blended (config.blend_match_gate rationale)
+        lat_gate = (config.blend_match_gate
+                    * float(np.sqrt(max(m_lat, 1e-10))) + 1e-3)
         diag = {"m_xy": m_xy, "m_th": m_th, "q_xy": q_xy_eff,
                 "q_th": q_th_eff, "b_tr": b_al, "b_th": b_th,
-                "so_xy": so_xy_d, "so_th": so_th_d}
+                "so_xy": so_xy_d, "so_th": so_th_d, "lat_gate": lat_gate}
         return fxy, fth, a_xy, a_th, dial, diag
 
 
@@ -341,6 +358,7 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
     bias_tr = np.zeros(t_total, np.float32)
     bias_th = np.zeros(t_total, np.float32)
     dial = np.zeros(t_total, np.float32)
+    lat_gate = np.zeros(t_total, np.float32)
     diag = {key: np.zeros(t_total) for key in
             ("m_xy", "m_th", "q_xy", "q_th", "b_tr", "b_th",
              "so_xy", "so_th")}
@@ -358,8 +376,9 @@ def floor_schedule(sr_th, sr_al, lat, d_ang, d_t2, v_active, config):
         blend_xy[t], blend_th[t] = a_xy, a_th
         bias_tr[t], bias_th[t] = dg["b_tr"], dg["b_th"]
         dial[t] = g
+        lat_gate[t] = dg["lat_gate"]
         for key in diag:
             diag[key][t] = dg[key]
 
     return FloorSchedule(floors_xy, floors_th, blend_xy, blend_th,
-                         bias_tr, bias_th, dial, diag)
+                         bias_tr, bias_th, dial, lat_gate, diag)

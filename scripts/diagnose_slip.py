@@ -59,7 +59,7 @@ def run_instrumented(seed, particles=100, ticks=300, rng=0,
         "tick", "type", "cmd_rot", "cmd_trans", "true_rot", "true_trans",
         "cmd_err_rot", "cmd_err_trans", "icp_ang", "icp_tx", "icp_ty",
         "sr_th", "sr_al", "lat", "floor_xy", "floor_th", "blend_xy",
-        "dial", "est_err", "n_meas")}
+        "blend_th", "bias_th", "dial", "est_err", "n_meas")}
 
     prev_gt = None
     prev_cmd = (0.0, 0.0)
@@ -125,6 +125,8 @@ def run_instrumented(seed, particles=100, ticks=300, rng=0,
         rec["floor_xy"].append(float(runner._floor_xy))
         rec["floor_th"].append(float(runner._floor_th))
         rec["blend_xy"].append(float(runner._blend_xy))
+        rec["blend_th"].append(float(getattr(runner, "_blend_th", 0.0)))
+        rec["bias_th"].append(float(getattr(runner, "_bias_th", 0.0)))
         rec["dial"].append(float(runner._dial))
         err = float(np.hypot(*(np.asarray(est[:2]) - g[:2])))
         rec["est_err"].append(err)

@@ -122,6 +122,15 @@ def section_base(args):
             num_particles=100, parity_mode=False, proposal_mode="fastslam2",
             use_icp_proposal=True, adaptive_proposal_floors=True,
         ),
+        # N=1000 rows: the committed backing for the PLAN.md round-4
+        # clean-gap numbers (verdict r4 weak #6 — every headline number
+        # must be reproducible from a committed artifact)
+        "production (N=1000)": dict(num_particles=1000, parity_mode=False),
+        "production+fs2+adaptive (N=1000)": dict(
+            num_particles=1000, parity_mode=False,
+            proposal_mode="fastslam2", use_icp_proposal=True,
+            adaptive_proposal_floors=True,
+        ),
     }
     rows = {f"reference equations (NumPy oracle, N={args.oracle_particles})": [],
             **{k: [] for k in modes},
@@ -161,6 +170,14 @@ def section_slip(args):
         "production+fs2+adaptive (N=100, wheel slip)": dict(
             num_particles=100, parity_mode=False, proposal_mode="fastslam2",
             use_icp_proposal=True, adaptive_proposal_floors=True,
+        ),
+        # committed backing for the PLAN.md N=1000 slip numbers
+        "production (N=1000, wheel slip)": dict(num_particles=1000,
+                                                parity_mode=False),
+        "production+fs2+adaptive (N=1000, wheel slip)": dict(
+            num_particles=1000, parity_mode=False,
+            proposal_mode="fastslam2", use_icp_proposal=True,
+            adaptive_proposal_floors=True,
         ),
     }
     oracle_name = (f"reference equations (NumPy oracle, "

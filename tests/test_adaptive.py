@@ -73,13 +73,21 @@ def test_translation_slip_engages_blend_and_floors_stay_tight():
     assert s.blend_th.max() == 0.0
 
 
-def test_rotation_slip_opens_theta_floor_not_blend():
+def test_rotation_slip_engages_gated_blend():
+    # round-5 contract revision: rotation blending is GATED, not banned —
+    # sustained rotation slip (here 0.02/tick, well above the
+    # blend_min_sigma_theta gate) engages the MMSE blend with the
+    # debiased match, and the floor then tracks the BLENDED odometry's
+    # (much smaller) error.  Below the gate (clean logs, the two tests
+    # above) blend_th stays exactly 0 — the round-3 bias rationale.
     cfg = make_config()
     s = adaptive.floor_schedule(*synth(slip_th=0.02), cfg)
     rot = slice(100, 120)  # second half of the turn: windows have samples
-    assert s.blend_th.max() == 0.0          # rotation never blended
-    assert s.floors_th[rot].min() > 0.008   # opened toward the slip scale
+    assert s.blend_th[rot].min() > 0.8      # blend engaged (MMSE ~ 1)
+    # floor tracks the blended odometry: well below the raw slip scale
+    assert s.floors_th[rot].max() < 0.015
     # translation ticks unaffected (slip hits the active component only)
+    assert s.blend_th[200:].max() == 0.0
     assert s.floors_th[200:].max() < 0.002
 
 
