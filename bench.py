@@ -306,8 +306,12 @@ def main():
     # measured the 48-step fs2 row ~0.8 ms/tick worse than the same
     # program at 96 steps).  Two windows, spread: the second runs after
     # the e2e bench below.
+    # chunk=16 for fs2 too (round-5 sweep, same-window: C16u4 3.872 ms vs
+    # C8u4 3.966-4.008 — the gain is smaller than the motion kernel's
+    # +7.3% because the fs2 tick runs two measurement loops and the
+    # halved chunk-boundary plane streams are a smaller fraction)
     fs2_windows = []
-    fs2_ups, fs2_step_s = bench_tpu(num_steps=96, chunk=8,
+    fs2_ups, fs2_step_s = bench_tpu(num_steps=96, chunk=16,
                                     proposal="fastslam2",
                                     reps=12, budget_s=90.0)
     fs2_windows.append(round(fs2_step_s, 6))
@@ -327,7 +331,7 @@ def main():
             "have changed; re-record ORACLE_BASELINE_UPDATES_PER_S",
             file=sys.stderr,
         )
-    fs2b_ups, fs2b_step_s = bench_tpu(num_steps=96, chunk=8,
+    fs2b_ups, fs2b_step_s = bench_tpu(num_steps=96, chunk=16,
                                       proposal="fastslam2",
                                       reps=10, budget_s=60.0)
     fs2_windows.append(round(fs2b_step_s, 6))

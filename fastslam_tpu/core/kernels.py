@@ -637,23 +637,60 @@ def effective_particles(log_weights: jax.Array, config: FastSLAMConfig) -> jax.A
 
 
 def systematic_resample_indices(weights: jax.Array, u0: jax.Array) -> jax.Array:
-    """Low-variance (systematic) resampling as cumsum + searchsorted.
+    """Low-variance (systematic) resampling, search-free.
 
     Replaces the reference's serial while-loop (``fast_slam_2.py:177-199``):
     with positions ``u_m = u0 + m/N`` the selected ancestor is the first index
-    whose cumulative weight reaches ``u_m`` — a vectorized ``searchsorted``
-    over the cumulative sum, clipped at N-1 (the reference clamps the same way
-    at ``:192``).
+    whose cumulative weight reaches ``u_m``, clipped at N-1 (the reference
+    clamps the same way at ``:192``).
+
+    TPU note (round 5, measured): ``jnp.searchsorted`` of N positions into
+    the N-element cumsum lowers to ~log2(N) binary-search rounds, each a
+    full dynamic lane-gather — 12.5 ms at P=100k, 2.5x the whole filter
+    step, and the reason the online loop collapsed to ~13 ms/tick whenever
+    Neff triggered resampling.  The positions are an ARITHMETIC GRID, so
+    the search has a closed form: the number of grid points strictly below
+    ``cum_j`` is ``S_j ~= ceil((cum_j - u0) * N)`` (two elementwise
+    correction steps reproduce float32 ``searchsorted`` comparisons
+    exactly), and the ancestor map is the staircase inverse of the sorted
+    ``S`` — one masked scatter + one prefix-max.  Total: two lane scans +
+    one scatter, ~4 ms at 100k (bit-identical indices, pinned by
+    tests/test_kernels.py against ``jnp.searchsorted``).
 
     Args:
       weights: ``[P]`` linear weights (need not be perfectly normalized).
       u0: scalar uniform draw in [0, 1/N).
     """
     n = weights.shape[0]
+    dt = weights.dtype
     cum = jnp.cumsum(weights)
-    positions = u0 + jnp.arange(n, dtype=weights.dtype) / n
-    idx = jnp.searchsorted(cum, positions, side="left")
-    return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
+
+    # S_j = #{m : u0 + m/n <= cum_j} (NON-strict, matching side="left":
+    # the selected ancestor is the first j with cum_j >= u_m) — closed-form
+    # grid count with float correction against the EXACT grid values
+    # searchsorted compares (u0 + m/n evaluated in the same dtype)
+    grid = lambda m: u0 + m.astype(dt) / n
+    s = jnp.ceil((cum - u0) * n).astype(jnp.int32)
+    s = jnp.clip(s, 0, n)
+    for _ in range(2):
+        s = jnp.where((s > 0) & (grid(s - 1) > cum), s - 1, s)
+    for _ in range(2):
+        s = jnp.where((s < n) & (grid(s) <= cum), s + 1, s)
+
+    # ancestor A[m] = min{j : S_j >= m + 1}: each positive-count j owns the
+    # output run [S_{j-1}, S_j) — scatter j at its run start, prefix-max
+    # forward-fills the runs.  Starts of positive-count runs are strictly
+    # increasing, so there are no scatter collisions; zero-count particles
+    # are masked to a dummy slot.  Trailing positions beyond cum[-1]
+    # (weight undersum) take ancestor n-1, matching searchsorted's clip.
+    s_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), s[:-1]])
+    j = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.where(s > s_prev, s_prev, n)          # dummy slot n = drop
+    b = jnp.full(n + 1, -1, jnp.int32).at[start].max(j)
+    tail = jnp.where(s[n - 1] < n, s[n - 1], n)
+    b = b.at[tail].max(n - 1)
+    idx = jax.lax.associative_scan(jnp.maximum, b[:n])
+    return jnp.clip(idx, 0, n - 1)
 
 
 def resample_state(state: FilterState, idx: jax.Array,

@@ -410,9 +410,14 @@ motion-only proposal (the slip rows).  The `+adaptive` rows estimate the
 floors ONLINE from the ICP-vs-command residual and drive the PROPOSAL MODE
 DIAL from them (floor-coupled g in [0, 1] traced into the kernel: tight
 floor + clean commands -> the reference's motion sampling, wide floor /
-slip -> full measurement-informed fs2) plus a translation-only MMSE
-command-vs-ICP blend — one config for both regimes with no per-regime
-tuning.  The
+slip -> full measurement-informed fs2) plus MMSE command-vs-ICP blends:
+translation gated on the estimated command error, rotation gated harder
+(engages only under sustained rotation slip, with the matcher's ~4 mrad
+systematic bias subtracted), and every tick's blend guarded by a
+lateral-residual match-failure gate (lateral ICP-vs-command residual is
+pure matcher error, so a many-sigma lateral outlier means a failed match
+and that tick falls back to the command) — one config for both regimes
+with no per-regime tuning.  The
 `chunked C=8` rows are the headline-bench batch-replay engine (resampling
 at chunk boundaries; ~1.3x throughput for a small ATE cost vs per-tick
 production).  The scale table runs the same worlds at N=10k/100k on the

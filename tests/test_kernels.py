@@ -198,6 +198,44 @@ def test_systematic_resample_matches_oracle(seed):
     np.testing.assert_array_equal(got, np.asarray(want))
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_systematic_resample_matches_searchsorted(seed):
+    """The search-free staircase form (round 5: searchsorted's binary
+    search was 12.5 ms at P=100k on TPU) must return BIT-IDENTICAL
+    indices to the reference cumsum+searchsorted formulation, including
+    float-tie and degenerate-weight cases."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    for n in (8, 100, 1024, 4096):
+        cases = [rng.dirichlet(np.full(n, 0.5))]
+        # degenerate: one particle holds ~all mass
+        w = np.full(n, 1e-12)
+        w[rng.integers(n)] = 1.0
+        cases.append(w / w.sum())
+        # many zero-weight particles (cumsum ties)
+        w = np.zeros(n)
+        w[rng.integers(0, n, max(2, n // 8))] = rng.uniform(
+            0.5, 1.0, max(2, n // 8))
+        cases.append(w / w.sum())
+        # undersum (weights not normalized; trailing positions clip)
+        cases.append(cases[0] * 0.97)
+        # exact grid ties: cum values landing exactly on positions
+        w = np.full(n, 1.0 / n)
+        cases.append(w)
+        for w in cases:
+            w32 = jnp.asarray(w, jnp.float32)
+            for u0 in (0.0, 1e-7, 0.3 / n, (n - 1) / (n * n)):
+                u = jnp.float32(u0)
+                got = np.asarray(
+                    kernels.systematic_resample_indices(w32, u))
+                cum = jnp.cumsum(w32)
+                pos = u + jnp.arange(n, dtype=jnp.float32) / n
+                want = np.asarray(jnp.clip(
+                    jnp.searchsorted(cum, pos, side="left"), 0, n - 1))
+                np.testing.assert_array_equal(got, want)
+
+
 def test_full_iterate_matches_oracle():
     """End-to-end parity: several iterations with identical injected noise."""
     rng = np.random.default_rng(7)
