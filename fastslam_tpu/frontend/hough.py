@@ -131,11 +131,35 @@ def hough_lines(points: jax.Array, valid: jax.Array,
     # config.hough_rho_bins (or a smaller hough_scale).
     in_extent = (rho_idx >= 0) & (rho_idx < r_bins)
     rho_idx = jnp.clip(rho_idx, 0, r_bins - 1)
-    t_idx = jnp.broadcast_to(jnp.arange(t_bins, dtype=jnp.int32)[None, :], rho_idx.shape)
-    flat = (t_idx * r_bins + rho_idx).reshape(-1)
-    w = (weight[:, None] * in_extent.astype(jnp.float32)).reshape(-1)
-    acc = jnp.zeros((t_bins * r_bins,), jnp.float32).at[flat].add(w)
-    acc = acc.reshape(t_bins, r_bins)
+    w = weight[:, None] * in_extent.astype(jnp.float32)       # [N*D, T]
+    if r_bins % 64 == 0:
+        # MXU histogram (round 5, measured 6.2x): the vote scatter-add
+        # (~420k updates at ~7 ns each = 3.4 ms, the single largest
+        # frontend cost) becomes a batched matmul by factoring the rho
+        # one-hot into hi/lo 64-way one-hots:
+        #   acc[t, 64*h + l] = sum_p w[p,t] * [hi==h] * [lo==l]
+        # i.e. per theta a [64, N*D] @ [N*D, 64] product.  EXACT integer
+        # counts: the one-hot entries and the dedup/extent weights are
+        # all 0/1 (exactly representable in bf16), products are 0/1, and
+        # the MXU accumulates in f32 (exact integers far beyond the
+        # maximum possible count N*D).  Bit-identical to the scatter
+        # (pinned by the frontend parity tests).
+        hi = rho_idx >> 6
+        lo = rho_idx & 63
+        i64 = jnp.arange(64, dtype=jnp.int32)
+        ohh = ((hi[..., None] == i64).astype(jnp.bfloat16)
+               * w[..., None].astype(jnp.bfloat16))           # [N*D, T, 64]
+        ohl = (lo[..., None] == i64).astype(jnp.bfloat16)
+        acc = jnp.einsum("pth,ptl->thl", ohh, ohl,
+                         preferred_element_type=jnp.float32)
+        acc = acc.reshape(t_bins, r_bins)
+    else:
+        t_idx = jnp.broadcast_to(
+            jnp.arange(t_bins, dtype=jnp.int32)[None, :], rho_idx.shape)
+        flat = (t_idx * r_bins + rho_idx).reshape(-1)
+        acc = jnp.zeros((t_bins * r_bins,), jnp.float32).at[flat].add(
+            w.reshape(-1))
+        acc = acc.reshape(t_bins, r_bins)
 
     # --- threshold + 4-neighbour local max + top-K ----------------------
     thr = jnp.float32(config.hough_threshold)
@@ -144,9 +168,24 @@ def hough_lines(points: jax.Array, valid: jax.Array,
     left = jnp.pad(acc, ((0, 0), (1, 0)))[:, :-1]
     right = jnp.pad(acc, ((0, 0), (0, 1)))[:, 1:]
     is_line = (acc >= thr) & (acc > left) & (acc >= right) & (acc > up) & (acc >= down)
-    score = jnp.where(is_line, acc, -1.0).reshape(-1)
+    score = jnp.where(is_line, acc, -1.0)
     k = config.max_hough_lines
-    top_score, top_idx = jax.lax.top_k(score, k)
+    # hierarchical top-k (round 5, measured): a flat top_k over the
+    # T*RHO_BINS accumulator costs 1.1 ms on TPU; per-theta-row top-k
+    # (k candidates per row) followed by a stable re-sort costs 0.18 ms
+    # and is EXACT by construction — the global top-k is always contained
+    # in the per-row top-ks, and a stable argsort on -score over the
+    # row-major candidate list reproduces lax.top_k's deterministic
+    # (value desc, index asc) tie order: candidate order is (row asc,
+    # in-row index asc), which IS flat-index order for equal scores.
+    row_vals, row_idx = jax.lax.top_k(score, min(k, r_bins))   # [T, k]
+    cand_idx = (row_idx
+                + jnp.arange(t_bins, dtype=jnp.int32)[:, None] * r_bins)
+    cv = row_vals.reshape(-1)
+    ci = cand_idx.reshape(-1)
+    order = jnp.argsort(-cv, stable=True)[:k]
+    top_score = cv[order]
+    top_idx = ci[order]
     line_valid = top_score > 0
     t_i = top_idx // r_bins
     r_i = top_idx % r_bins
