@@ -661,9 +661,17 @@ def systematic_resample_indices(weights: jax.Array, u0: jax.Array) -> jax.Array:
       weights: ``[P]`` linear weights (need not be perfectly normalized).
       u0: scalar uniform draw in [0, 1/N).
     """
-    n = weights.shape[0]
-    dt = weights.dtype
     cum = jnp.cumsum(weights)
+    return grid_staircase_indices(cum, u0, weights.shape[0])
+
+
+def grid_staircase_indices(cum: jax.Array, u0: jax.Array,
+                           n: int) -> jax.Array:
+    """``clip(searchsorted(cum, u0 + arange(n)/n, 'left'), 0, n-1)``
+    without the search (see :func:`systematic_resample_indices`); shared
+    with the distributed halo/ring resamplers so every path stays
+    bit-identical."""
+    dt = cum.dtype
 
     # S_j = #{m : u0 + m/n <= cum_j} (NON-strict, matching side="left":
     # the selected ancestor is the first j with cum_j >= u_m) — closed-form

@@ -54,11 +54,16 @@ def shard_ancestor_window(logw, u0, *, axis: str, num_shards: int):
     w_local = jnp.exp(logw)
     w_all = jax.lax.all_gather(w_local, axis, tiled=True)       # [P]
     cum = jnp.cumsum(w_all)
-    positions = (u0 + (my_start + jnp.arange(p_local, dtype=cum.dtype))
-                 / p_global)
-    idx = jnp.clip(
-        jnp.searchsorted(cum, positions, side="left"), 0, p_global - 1
-    )                                                            # global [P_local]
+    # search-free systematic indices over the global grid, sliced to this
+    # shard's output positions [my_start, my_start + p_local) — the SAME
+    # staircase helper as the single-device resampler, so the bit-match
+    # invariant between the distributed and single-device paths holds by
+    # construction (kernels.grid_staircase_indices; searchsorted here was
+    # 12.5 ms at P=100k on TPU)
+    from fastslam_tpu.core.kernels import grid_staircase_indices
+
+    idx_all = grid_staircase_indices(cum, u0, p_global)          # [P]
+    idx = jax.lax.dynamic_slice(idx_all, (my_start,), (p_local,))
 
     local_idx = idx - (my_start - p_local)
     # Ring wrap-around is safe at the edges: global idx is always in
