@@ -32,7 +32,8 @@ SLIP = (0.02, 0.02)
 
 
 def run_instrumented(seed, particles=100, ticks=300, rng=0,
-                     odometry_noise=SLIP, overrides=None):
+                     odometry_noise=SLIP, overrides=None,
+                     range_noise_std=0.005):
     """run_driver's replay loop with per-tick adaptive internals recorded."""
     from fastslam_tpu.app.runner import SLAMRunner
     from fastslam_tpu.config import FastSLAMConfig
@@ -41,7 +42,7 @@ def run_instrumented(seed, particles=100, ticks=300, rng=0,
     sys.path.insert(0, os.path.dirname(__file__))
     from eval_suite import make_log
 
-    log, gt = make_log(seed, ticks)
+    log, gt = make_log(seed, ticks, range_noise_std=range_noise_std)
     config = FastSLAMConfig(
         num_particles=particles, max_landmarks=64, warmup_iterations=150,
         parity_mode=False, proposal_mode="fastslam2", use_icp_proposal=True,
@@ -178,6 +179,9 @@ def main():
     ap.add_argument("--ticks", type=int, default=300)
     ap.add_argument("--clean", action="store_true",
                     help="no slip (baseline internals)")
+    ap.add_argument("--range-noise", type=float, default=0.005,
+                    help="laser range noise std (the noise-table rows "
+                    "use 0.01/0.03)")
     args = ap.parse_args()
     seeds = args.seed or [3, 7]
 
@@ -189,8 +193,11 @@ def main():
     os.makedirs(RESULTS, exist_ok=True)
     for seed in seeds:
         rec = run_instrumented(seed, particles=args.particles,
-                               ticks=args.ticks, odometry_noise=noise)
+                               ticks=args.ticks, odometry_noise=noise,
+                               range_noise_std=args.range_noise)
         tag = "clean" if args.clean else "slip"
+        if args.range_noise != 0.005:
+            tag += f"_rn{args.range_noise}"
         path = os.path.join(RESULTS, f"slip_diag_seed{seed}_{tag}.json")
         with open(path, "w") as f:
             json.dump({k: (v if np.isscalar(v) else list(map(float, v)))
