@@ -74,7 +74,6 @@ def run_instrumented(seed, particles=100, ticks=300, rng=0,
         v, w = prev_cmd
         prev_cmd = cur_cmd
         rotation, translation = runner.odometry(v, w, scan.timestamp)
-        clean_rot, clean_trans = rotation, translation
         if odometry_noise != (0.0, 0.0):
             if rotation != 0.0:
                 rotation += odo_rng.normal(0.0, odometry_noise[0])
@@ -143,7 +142,6 @@ def run_instrumented(seed, particles=100, ticks=300, rng=0,
     est_poses = np.asarray(est_poses)
     gts = np.asarray(gts)
     rec["ate"] = ate_rmse(gts[:, :2], est_poses[:, :2])
-    _ = clean_rot, clean_trans
     return rec
 
 
