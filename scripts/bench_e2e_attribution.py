@@ -171,9 +171,15 @@ def main():
     out["filter_ms_per_tick"] = round(best / k * 1e3, 3)
     print(f"filter: {best / k * 1e3:.3f} ms/tick", file=sys.stderr)
 
-    out["residual_ms_per_tick"] = round(
-        out["per_tick_ms_asymptotic"] - out["frontend_ms_per_tick"]
-        - out["filter_ms_per_tick"], 3)
+    # NOTE: frontend + filter(16 meas) can exceed the e2e asymptote —
+    # the e2e scan consumes the LOG's measurement stream (~2 valid
+    # measurements/tick on average vs the filter-only probe's fixed 16;
+    # the dynamic measurement skip is ~155 us per padded-out slot), and
+    # resampling only fires on weight-degenerate ticks.  The K-sweep's
+    # per-tick spread (early ticks resample nearly every tick) is the
+    # resample-rate signal.
+    out["note"] = ("filter_ms is at 16 fixed valid measurements; the "
+                   "e2e log averages ~2, so components are not additive")
 
     os.makedirs(RESULTS, exist_ok=True)
     with open(os.path.join(RESULTS, "e2e_attribution.json"), "w") as f:
