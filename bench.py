@@ -67,7 +67,7 @@ def _timed_best(fn, sync, *, reps: int, budget_s: float) -> float:
     return best
 
 
-def bench_tpu(num_steps: int = 384, chunk: int = 16, proposal: str = "motion",
+def bench_tpu(num_steps: int = 768, chunk: int = 16, proposal: str = "motion",
               reps: int = 24, budget_s: float = 150.0):
     """Time ``num_steps`` data-dependent filter ticks inside ONE jit via
     ``lax.scan`` — one dispatch, one block.  This is immune to async-dispatch
@@ -91,10 +91,10 @@ def bench_tpu(num_steps: int = 384, chunk: int = 16, proposal: str = "motion",
     — past the 2.23 ms C=8 plane-stream ceiling by halving the number of
     chunk-boundary plane streams.
 
-    ``num_steps=384`` (round 5): at 96 steps the ~50-80 ms per-dispatch
+    ``num_steps=768`` (round 5): at 96 steps the ~50-80 ms per-dispatch
     tunnel overhead adds ~0.7 ms/tick — the entire rounds-3/4 gap between
     the official capture (~2.95) and the same engine's measured best
-    (2.242, longer scans).  384 ticks cuts the inflation to ~0.16 ms/tick;
+    (2.242, longer scans).  768 ticks cuts the inflation to ~0.08 ms/tick;
     the three spread windows in main() still diagnose real contention."""
     import jax
     import jax.numpy as jnp
@@ -317,7 +317,7 @@ def main():
     # +7.3% because the fs2 tick runs two measurement loops and the
     # halved chunk-boundary plane streams are a smaller fraction)
     fs2_windows = []
-    fs2_ups, fs2_step_s = bench_tpu(num_steps=384, chunk=16,
+    fs2_ups, fs2_step_s = bench_tpu(num_steps=768, chunk=16,
                                     proposal="fastslam2",
                                     reps=12, budget_s=90.0)
     fs2_windows.append(round(fs2_step_s, 6))
@@ -337,7 +337,7 @@ def main():
             "have changed; re-record ORACLE_BASELINE_UPDATES_PER_S",
             file=sys.stderr,
         )
-    fs2b_ups, fs2b_step_s = bench_tpu(num_steps=384, chunk=16,
+    fs2b_ups, fs2b_step_s = bench_tpu(num_steps=768, chunk=16,
                                       proposal="fastslam2",
                                       reps=10, budget_s=60.0)
     fs2_windows.append(round(fs2b_step_s, 6))
