@@ -222,6 +222,24 @@ class FastSLAMConfig:
     # weight-dependent quantity (Neff, resampling) regresses under fs2,
     # suspect this first.  True restores the textbook evidence weighting.
     fs2_evidence_weights: bool = False
+    # RETIRED LEVER (measured, kept for reproducibility like
+    # assoc_shadow): reuse the proposal pass's data association in the
+    # EKF pass (fused fs2 kernels, production only).  The fs2 tick
+    # associates every measurement twice — at the PREDICTED pose
+    # (proposal accumulation) and at the SAMPLED pose (landmark EKF) —
+    # and the association block is ~20 of the EKF loop's ~47 [L, T]
+    # passes.  With reuse, the proposal pass stores each measurement's
+    # packed argmin key ([M, T] i32 scratch rows) and the EKF rebuilds
+    # the one-hot from it, with a row-space duplicate guard against
+    # same-tick appends.  Measured: 13.5% faster fs2 chunked tick
+    # (3.73 -> 3.23 ms/tick), but NOT accuracy-neutral — freezing the
+    # association at the predicted pose / pre-tick map changes the
+    # acquisition-phase merge behavior (fresh landmarks carry a
+    # default_cov gate radius ~2.5 m, so same-tick merge timing matters)
+    # and cost 1.4-3.4x clean ATE on the N=100 interpret eval (0.011 ->
+    # 0.036 seed 7).  The sampled-pose re-association earns its cost;
+    # default stays False.
+    fs2_reuse_association: bool = False
 
     # ---- motion / app loop ----
     # production online loop: fuse ICP refine + frontend + tracking + filter

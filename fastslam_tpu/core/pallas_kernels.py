@@ -153,6 +153,7 @@ def _apply_measurement(
     carry, pose_rows, z_scalars, *,
     slot, gate, meas_noise, default_cov, parity, assoc_bf16, skip_ekf,
     weight_update: bool = True, shadow: bool = False, sym: bool = False,
+    key_row=None, reuse_scratch=None,
 ):
     """One measurement through association + 2x2 EKF + weighting, on a
     particle tile in the planes layout.  Shared by the single-tick kernel
@@ -201,7 +202,37 @@ def _apply_measurement(
     # cos(yaw+b) = cos yaw cos b - sin yaw sin b, etc.
     wx = px + dist_z * (cyaw * cos_b - syaw * sin_b)   # [1, T]
     wy = py + dist_z * (syaw * cos_b + cyaw * sin_b)
-    if parity:
+    if key_row is not None:
+        # association REUSED from the proposal pass's stored packed key
+        # (config.fs2_reuse_association): rebuild the one-hot from the
+        # [1, T] key row and skip the distance/key/min block (~20 [L, T]
+        # passes).  Production only; everything below the association —
+        # the matched-value gathers, the sequential EKF, the writes — is
+        # the same code, so the update semantics are unchanged.  The
+        # stored key predates this tick's APPENDS, so a duplicate guard
+        # runs in ROW space: lanes whose observation would have matched a
+        # landmark appended EARLIER THIS TICK (the full path's exact
+        # fresh-landmark association criterion, d^2 < gate^2*default_cov,
+        # checked against the tick's own appended observations recorded
+        # in ``reuse_scratch``) take no action this measurement instead
+        # of appending a duplicate.  Residual approximation vs the full
+        # path: such a lane's measurement is dropped instead of EKF-
+        # updating the just-appended (default-cov) landmark — a sub-cm
+        # one-tick difference on acquisition ticks only.
+        assert not parity and not shadow and not assoc_bf16
+        wxs_ref, wys_ref, apps_ref, m_idx = reuse_scratch
+        dup = jnp.zeros(wx.shape, jnp.bool_)
+
+        def _dup_body(j, dup):
+            dxj = wx - wxs_ref[pl.ds(j, 1), :]
+            dyj = wy - wys_ref[pl.ds(j, 1), :]
+            return dup | ((apps_ref[pl.ds(j, 1), :] > 0)
+                          & (dxj * dxj + dyj * dyj
+                             < gate * gate * default_cov))
+
+        dup = jax.lax.fori_loop(0, m_idx, _dup_body, dup)
+        dx_q = dy_q = None
+    elif parity:
         qx = dist_z * cos_b                      # robot-frame quirk
         qy = dist_z * sin_b
         dx_q = mx - qx
@@ -210,7 +241,9 @@ def _apply_measurement(
         dx_q = mx - wx
         dy_q = my - wy
 
-    if shadow:
+    if key_row is not None:
+        d2f = None
+    elif shadow:
         # whole distance pass in bf16 against the shadow planes: only the
         # two [1, T] observation rows convert per measurement
         bf = jnp.bfloat16
@@ -230,9 +263,13 @@ def _apply_measurement(
                + dyb * (-ccb * dxb + cab * dyb)).astype(mx.dtype)
     else:
         d2f = dx_q * (cd * dx_q - cb * dy_q) + dy_q * (-cc * dx_q + ca * dy_q)
-    usable = detp > 0.0
+    usable = detp > 0.0 if key_row is None else None
 
-    if parity:
+    if key_row is not None:
+        gate_bits = _f32_bits(gate * gate)
+        has_match = key_row <= (((gate_bits - 1) & ~0xFF) | 0xFF)
+        idx = key_row & 0xFF
+    elif parity:
         # Mahalanobis^2 gate WITHOUT a [L, T] divide: d2/det < gate^2 with
         # det > 0  <=>  d2_raw < gate^2 * det.
         hit = usable & (d2f < (gate * gate) * detp)
@@ -351,6 +388,14 @@ def _apply_measurement(
     can_append = cnt < l
     do_update = has_match & z_ok                              # [1, T]
     do_append = (~has_match) & can_append & z_ok
+    if key_row is not None:
+        # same-tick duplicate guard (see the key_row note above), and
+        # record this measurement's world observation + append decision
+        # for the guards of the tick's later measurements
+        do_append = do_append & (~dup)
+        wxs_ref[pl.ds(m_idx, 1), :] = wx
+        wys_ref[pl.ds(m_idx, 1), :] = wy
+        apps_ref[pl.ds(m_idx, 1), :] = do_append.astype(jnp.int32)
 
     # single write pass per plane: the EKF update targets the matched slot,
     # the append targets slot==cnt, and per lane at most ONE of the two fires
@@ -718,7 +763,7 @@ def fused_update_planes(
 
 def _accumulate_proposal(
     acc, planes, pred_rows, prior_rows, z_scalars, *, slot, gate, meas_noise,
-    evidence=True, scale=None,
+    evidence=True, scale=None, return_key=False,
 ):
     """One measurement of the FastSLAM 2.0 proposal accumulation on a
     particle tile — the in-kernel mirror of the scan body in
@@ -742,6 +787,9 @@ def _accumulate_proposal(
                 measurement-informed fs2 posterior (1).  The evidence
                 log-weight is NOT scaled — the weight source semantics are
                 unchanged.
+    return_key: also return this measurement's packed argmin key row
+                ([1, T] i32) so the EKF pass can reuse the association
+                (config.fs2_reuse_association).
     """
     (lam00, lam01, lam02, lam11, lam12, lam22, e0a, e1a, e2a, logw_add) = acc
     mx, my, ca, cb, cd, detp = planes
@@ -865,7 +913,10 @@ def _accumulate_proposal(
         log_ev = -0.5 * (maha + jnp.log(z_det)) - _LOG_TWO_PI
         logw_add = jnp.where(use, logw_add + log_ev, logw_add)
 
-    return (lam00, lam01, lam02, lam11, lam12, lam22, e0a, e1a, e2a, logw_add)
+    out = (lam00, lam01, lam02, lam11, lam12, lam22, e0a, e1a, e2a, logw_add)
+    if return_key:
+        return out, kmin
+    return out
 
 
 def _proposal_prior_rows(cy, sy, s_t2, s_r2, fxy):
@@ -940,12 +991,14 @@ def _fused_fs2_kernel(
     # outputs
     x_out, y_out, yaw_out, logw_out,
     mx_out, my_out, ca_out, cb_out, cd_out, cnt_out,
-    *,
+    # scratch ([M, T] i32 packed-key rows when reuse_assoc)
+    *scratch,
     num_measurements: int,
     gate: float,
     meas_noise: float,
     default_cov: float,
     evidence_weights: bool,
+    reuse_assoc: bool = False,
 ):
     """One FastSLAM 2.0 tick on a particle tile, planes VMEM-resident:
 
@@ -986,15 +1039,33 @@ def _fused_fs2_kernel(
     acc = lam + (zero, zero, zero, zero)
     mtrip = jnp.minimum(mlast_ref[0], num_measurements)
 
-    def _accum_body(m, acc):
-        return _accumulate_proposal(
-            acc, (mx, my, ca, cb, cd, detp),
-            (px, py, yaw, cyaw, syaw), prior_rows,
-            (z_ref[m, 0], z_ref[m, 1], z_ref[m, 2], z_ref[m, 3],
-             zvalid_ref[m, 0] > 0),
-            slot=slot, gate=gate, meas_noise=meas_noise,
-            evidence=evidence_weights, scale=prior_ref[3],
-        )
+    keys_ref = scratch[0] if reuse_assoc else None
+
+    if reuse_assoc:
+        # per-measurement packed argmin keys, stored for the EKF pass
+        # (config.fs2_reuse_association) in a VMEM scratch ref
+        def _accum_body(m, acc):
+            acc, kmin = _accumulate_proposal(
+                acc, (mx, my, ca, cb, cd, detp),
+                (px, py, yaw, cyaw, syaw), prior_rows,
+                (z_ref[m, 0], z_ref[m, 1], z_ref[m, 2], z_ref[m, 3],
+                 zvalid_ref[m, 0] > 0),
+                slot=slot, gate=gate, meas_noise=meas_noise,
+                evidence=evidence_weights, scale=prior_ref[3],
+                return_key=True,
+            )
+            keys_ref[pl.ds(m, 1), :] = kmin
+            return acc
+    else:
+        def _accum_body(m, acc):
+            return _accumulate_proposal(
+                acc, (mx, my, ca, cb, cd, detp),
+                (px, py, yaw, cyaw, syaw), prior_rows,
+                (z_ref[m, 0], z_ref[m, 1], z_ref[m, 2], z_ref[m, 3],
+                 zvalid_ref[m, 0] > 0),
+                slot=slot, gate=gate, meas_noise=meas_noise,
+                evidence=evidence_weights, scale=prior_ref[3],
+            )
 
     acc = jax.lax.fori_loop(0, mtrip, _accum_body, acc)
     lam = acc[:6]
@@ -1017,6 +1088,9 @@ def _fused_fs2_kernel(
             slot=slot, gate=gate, meas_noise=meas_noise,
             default_cov=default_cov, parity=False, assoc_bf16=False,
             skip_ekf=False, weight_update=not evidence_weights, sym=True,
+            key_row=(keys_ref[pl.ds(m, 1), :] if reuse_assoc else None),
+            reuse_scratch=((scratch[1], scratch[2], scratch[3], m)
+                           if reuse_assoc else None),
         )
 
     mx, my, ca, cb, cd, detp, cnt, logw = jax.lax.fori_loop(
@@ -1094,7 +1168,8 @@ def fused_fs2_planes(
         gate=float(config.max_landmark_distance),
         meas_noise=float(config.measurement_noise),
         default_cov=float(config.default_landmark_cov),
-       evidence_weights=bool(config.fs2_evidence_weights),
+        evidence_weights=bool(config.fs2_evidence_weights),
+        reuse_assoc=bool(config.fs2_reuse_association),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1102,6 +1177,12 @@ def fused_fs2_planes(
         grid=grid,
         in_specs=[rowspec] * 9 + [plane] * 5 + [rowspec],
         out_specs=[rowspec] * 4 + [plane] * 5 + [rowspec],
+        # keys + (wx, wy, appended) rows for the association-reuse path
+        scratch_shapes=([pltpu.VMEM((m, tile), jnp.int32),
+                         pltpu.VMEM((m, tile), dt),
+                         pltpu.VMEM((m, tile), dt),
+                         pltpu.VMEM((m, tile), jnp.int32)]
+                        if config.fs2_reuse_association else []),
     )
 
     out_shapes = (
@@ -1480,7 +1561,8 @@ def _fused_fs2_multi_kernel(
     tx_out, ty_out, tyaw_out, tlogw_out,         # [Cp, T]
     mx_out, my_out, ca_out, cb_out, cd_out,
     cnt_out,
-    *,
+    # scratch ([M, T] i32 packed-key rows when reuse_assoc)
+    *scratch,
     num_ticks: int,
     num_measurements: int,
     gate: float,
@@ -1488,6 +1570,7 @@ def _fused_fs2_multi_kernel(
     default_cov: float,
     evidence_weights: bool,
     unroll: int = 1,
+    reuse_assoc: bool = False,
 ):
     """C FastSLAM 2.0 ticks on one particle tile, landmark planes
     VMEM-resident throughout (the fs2 analog of :func:`_fused_multi_kernel`).
@@ -1542,16 +1625,34 @@ def _fused_fs2_multi_kernel(
         acc = lam + (zero, zero, zero, zero)
         mtrip = jnp.minimum(mlast_ref[k], num_measurements)
 
-        def _accum_body(m, acc):
-            zi = k * num_measurements + m
-            return _accumulate_proposal(
-                acc, (mx, my, ca, cb, cd, detp),
-                (px_p, py_p, yaw_p, cy_p, sy_p), prior_rows,
-                (z_ref[zi, 0], z_ref[zi, 1], z_ref[zi, 2], z_ref[zi, 3],
-                 zvalid_ref[zi, 0] > 0),
-                slot=slot, gate=gate, meas_noise=meas_noise,
-                evidence=evidence_weights, scale=prior_ref[k, 3],
-            )
+        if reuse_assoc:
+            # per-measurement packed argmin keys for this tick, stored in
+            # the VMEM scratch ref so the EKF pass reuses the association
+            # (config.fs2_reuse_association)
+            def _accum_body(m, a):
+                zi = k * num_measurements + m
+                a, kmin = _accumulate_proposal(
+                    a, (mx, my, ca, cb, cd, detp),
+                    (px_p, py_p, yaw_p, cy_p, sy_p), prior_rows,
+                    (z_ref[zi, 0], z_ref[zi, 1], z_ref[zi, 2],
+                     z_ref[zi, 3], zvalid_ref[zi, 0] > 0),
+                    slot=slot, gate=gate, meas_noise=meas_noise,
+                    evidence=evidence_weights, scale=prior_ref[k, 3],
+                    return_key=True,
+                )
+                scratch[0][pl.ds(m, 1), :] = kmin
+                return a
+        else:
+            def _accum_body(m, acc):
+                zi = k * num_measurements + m
+                return _accumulate_proposal(
+                    acc, (mx, my, ca, cb, cd, detp),
+                    (px_p, py_p, yaw_p, cy_p, sy_p), prior_rows,
+                    (z_ref[zi, 0], z_ref[zi, 1], z_ref[zi, 2],
+                     z_ref[zi, 3], zvalid_ref[zi, 0] > 0),
+                    slot=slot, gate=gate, meas_noise=meas_noise,
+                    evidence=evidence_weights, scale=prior_ref[k, 3],
+                )
 
         # manual unroll with dynamic ROUND count, exactly as the motion
         # multi kernel does it (overshoot ticks are z_ok no-ops — for the
@@ -1590,6 +1691,10 @@ def _fused_fs2_multi_kernel(
                 slot=slot, gate=gate, meas_noise=meas_noise,
                 default_cov=default_cov, parity=False, assoc_bf16=False,
                 skip_ekf=False, weight_update=not evidence_weights, sym=True,
+                key_row=(scratch[0][pl.ds(m, 1), :] if reuse_assoc
+                         else None),
+                reuse_scratch=((scratch[1], scratch[2], scratch[3], m)
+                               if reuse_assoc else None),
             )
 
         mcarry = (mx, my, ca, cb, cd, detp, cnt, logw)
@@ -1694,6 +1799,7 @@ def fused_fs2_planes_multi(
         default_cov=float(config.default_landmark_cov),
         evidence_weights=bool(config.fs2_evidence_weights),
         unroll=unroll,
+        reuse_assoc=bool(config.fs2_reuse_association),
     )
 
     out_shapes = (
@@ -1732,6 +1838,12 @@ def fused_fs2_planes_multi(
         grid=grid,
         in_specs=[rowspec] * 6 + [tickspec] * 3 + [plane] * 5 + [rowspec],
         out_specs=[tickspec] * 4 + [plane] * 5 + [rowspec],
+        # keys + (wx, wy, appended) rows for the association-reuse path
+        scratch_shapes=([pltpu.VMEM((m, tile), jnp.int32),
+                         pltpu.VMEM((m, tile), dt),
+                         pltpu.VMEM((m, tile), dt),
+                         pltpu.VMEM((m, tile), jnp.int32)]
+                        if config.fs2_reuse_association else []),
     )
 
     outs = pl.pallas_call(

@@ -371,3 +371,68 @@ def test_chunked_unroll_and_shadow_flags():
     s_st, s_est = run(assoc_shadow=True)
     np.testing.assert_allclose(np.asarray(s_est), np.asarray(base_est),
                                atol=1e-6)
+
+def test_fs2_reuse_association_matches_full_path():
+    """config.fs2_reuse_association (RETIRED lever — see the config
+    rationale) stores the proposal pass's packed argmin keys, rebuilds
+    the EKF pass's one-hot from them, and guards appends against
+    same-tick duplicates.  This pins that the flag still executes on
+    both fused fs2 kernels and that its acquisition-phase divergence
+    from the full path stays bounded."""
+    from fastslam_tpu.core.state import Measurements, init_planes_state
+
+    base_kw = dict(
+        num_particles=256, max_landmarks=16, max_measurements=8,
+        parity_mode=False, use_pallas=True, pallas_interpret=True,
+        proposal_mode="fastslam2",
+    )
+    ms = pad_measurements(
+        FastSLAMConfig(**base_kw),
+        [(2.0 + 0.3 * i, -2.0 + 0.4 * i) for i in range(5)],
+    )
+
+    def run_per_tick(reuse, ticks=4):
+        cfg = FastSLAMConfig(**base_kw, fs2_reuse_association=reuse)
+        st = init_planes_state(cfg, rng=0)
+        ests = []
+        for _ in range(ticks):
+            st, est = kernels.fastslam_step_planes(
+                st, jnp.float32(0.0), jnp.float32(0.4), ms, cfg
+            )
+            ests.append(np.asarray(est))
+        return st, ests
+
+    b_st, b_ests = run_per_tick(False)
+    r_st, r_ests = run_per_tick(True)
+    # the duplicate guard must bound acquisition-phase divergence: the
+    # full path merges same-tick measurements into each other's fresh
+    # (default-cov, ~2.5 m gate) appends immediately, the reuse path
+    # defers/re-times those merges — counts stay within the per-tick
+    # measurement budget and nothing double-appends (the naive reuse
+    # without the guard appended duplicates for every same-tick
+    # neighbor).  The lever is RETIRED for accuracy (config rationale);
+    # this test pins that the flag still runs and stays bounded.
+    cnt_diff = np.abs(np.asarray(r_st.lm_count, np.int64)
+                      - np.asarray(b_st.lm_count, np.int64))
+    assert cnt_diff.max() <= 5, cnt_diff.max()
+    est_diff = np.abs(np.asarray(r_ests[-1]) - np.asarray(b_ests[-1]))
+    assert est_diff.max() < 0.2, est_diff.max()
+
+    c = 4
+    msc = Measurements(jnp.tile(ms.range_bearing[None], (c, 1, 1)),
+                       jnp.tile(ms.valid[None], (c, 1)))
+
+    def run_chunked(reuse):
+        cfg = FastSLAMConfig(**base_kw, fs2_reuse_association=reuse)
+        st = init_planes_state(cfg, rng=0)
+        return kernels.fastslam_steps_planes_chunked(
+            st, jnp.zeros(c), jnp.full(c, 0.4), msc, cfg
+        )
+
+    b_st, b_est = run_chunked(False)
+    r_st, r_est = run_chunked(True)
+    cnt_diff = np.abs(np.asarray(r_st.lm_count, np.int64)
+                      - np.asarray(b_st.lm_count, np.int64))
+    assert cnt_diff.max() <= 5, cnt_diff.max()
+    est_diff = np.abs(np.asarray(r_est) - np.asarray(b_est))
+    assert est_diff.max() < 0.2, est_diff.max()
