@@ -372,6 +372,7 @@ def test_chunked_unroll_and_shadow_flags():
     np.testing.assert_allclose(np.asarray(s_est), np.asarray(base_est),
                                atol=1e-6)
 
+@pytest.mark.slow
 def test_fs2_reuse_association_matches_full_path():
     """config.fs2_reuse_association (RETIRED lever — see the config
     rationale) stores the proposal pass's packed argmin keys, rebuilds
